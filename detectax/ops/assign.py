@@ -1,0 +1,751 @@
+"""Vectorized label-assignment kernels — on-device, fixed-shape, jit/vmap-safe.
+
+The reference computes every target map with per-image numpy double loops
+(`FCOS/fcos.py:136-378`, `FCOS/fcos_center.py:149-279`,
+`FCOS/fcos_center_v1.py:149-258`, `CenterNet/tf_centernet.py:152-342`,
+`CenterNet/tf_centernet_resnet_s8.py:243-330`,
+`CenterNet/train_hourglass_voc.py:99-199`,
+`RetinaNet/retinanet_module.py:251-365`) — the CPU hot spot of its training
+loops (SURVEY.md §3.1). Here each scheme is a broadcast-and-reduce over a
+padded ground-truth array ``[max_boxes]`` so it fuses into the jitted train
+step and runs on the TPU's VPU.
+
+Inputs (shared convention)
+--------------------------
+* ``gt_yxhw``: ``[N, 4]`` normalized ``(y_cen, x_cen, h, w)`` boxes — the
+  reference's layout after its swap_xy + convert_to_xywh preprocessing
+  (`FCOS/data_preprocess.py:130-132`).
+* ``gt_labels``: ``[N]`` int32 class ids.
+* ``gt_valid``: ``[N]`` bool padding mask (the reference has ragged GT lists;
+  the TPU build pads to ``max_boxes`` — SURVEY.md §7.3.3).
+* ``img_dim``: static ``(H, W)`` of the *content* region in pixels;
+  ``img_pad``: static padded canvas ``(H, W)`` (stride-divisible).
+
+Collision semantics
+-------------------
+Where several GT boxes claim one cell, the winner is the **smallest-area**
+box. The reference's comments state this intent everywhere ("the smallest
+area will automatically overwrite", `FCOS/fcos.py:185-188`), although its
+``np.argsort`` ordering actually iterates smallest→largest so the *largest*
+box wins in the code as written — a documented reference bug that this build
+fixes in favor of the stated (and standard-FCOS) semantics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax.numpy as jnp
+from jax import nn as jnn
+
+from detectax.ops.boxes import pairwise_iou_center
+
+NEG_INF = -1e30
+EPS = 1e-8
+
+FCOS_STRIDES = (8, 16, 32, 64, 128)
+FCOS_BIN_EDGES = (32.0, 64.0, 128.0, 256.0)
+
+
+def _trunc_int(x: jnp.ndarray) -> jnp.ndarray:
+    """Python ``int()`` semantics (truncate toward zero) as int32."""
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+def _bin_bounds(b_dim: Sequence[float], n_levels: int):
+    """Per-level (lo, hi) bounds on max(box_h, box_w) in pixels.
+
+    Parity with reference `FCOS/fcos.py:168-179`: level 0 takes
+    ``max_side < b_dim[0]``, the top level takes ``>= b_dim[-1]``, middle
+    levels take half-open ranges.
+    """
+    bounds = []
+    for na in range(n_levels):
+        lo = 0.0 if na == 0 else float(b_dim[na - 1])
+        hi = float("inf") if na == n_levels - 1 else float(b_dim[na])
+        bounds.append((lo, hi))
+    return bounds
+
+
+def _gt_pixels(gt_yxhw, img_dim):
+    h, w = float(img_dim[0]), float(img_dim[1])
+    y_c = gt_yxhw[:, 0] * h
+    x_c = gt_yxhw[:, 1] * w
+    bh = gt_yxhw[:, 2] * h
+    bw = gt_yxhw[:, 3] * w
+    return y_c, x_c, bh, bw
+
+
+# ---------------------------------------------------------------------------
+# FCOS all-in-box assignment (reference FCOS/fcos.py:136-378)
+# ---------------------------------------------------------------------------
+
+
+def fcos_assign_level(
+    gt_yxhw: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    *,
+    img_dim: tuple,
+    img_pad: tuple,
+    num_classes: int,
+    stride: int,
+    bin_lo: float,
+    bin_hi: float,
+):
+    """One FPN level of FCOS all-in-box assignment.
+
+    Returns ``([hm, wm, 5+nc], n_targets)`` with channel layout
+    ``[t, b, l, r, centerness, one_hot(nc)]`` (distances in stride units) —
+    the reference's layout at `FCOS/fcos.py:241-283`.
+    """
+    hm = int(img_pad[0]) // stride
+    wm = int(img_pad[1]) // stride
+    h_ratio = img_dim[0] / stride
+    w_ratio = img_dim[1] / stride
+
+    y_c, x_c, bh, bw = _gt_pixels(gt_yxhw, img_dim)
+    max_side = jnp.maximum(bh, bw)
+    in_bin = gt_valid & (max_side >= bin_lo) & (max_side < bin_hi)
+
+    # Pixel corner coords (can be negative at image edges; the reference
+    # clips the resulting ltrb at 0, FCOS/fcos.py:192-196).
+    y_lo_px = (gt_yxhw[:, 0] - 0.5 * gt_yxhw[:, 2]) * img_dim[0]
+    x_lo_px = (gt_yxhw[:, 1] - 0.5 * gt_yxhw[:, 3]) * img_dim[1]
+    y_hi_px = (gt_yxhw[:, 0] + 0.5 * gt_yxhw[:, 2]) * img_dim[0]
+    x_hi_px = (gt_yxhw[:, 1] + 0.5 * gt_yxhw[:, 3]) * img_dim[1]
+
+    # Covered cell ranges [lo, hi) with the reference's +1 / clip rules
+    # (FCOS/fcos.py:217-225, int() = truncate toward zero).
+    y_lo_c = jnp.maximum(0, _trunc_int((gt_yxhw[:, 0] - gt_yxhw[:, 2] / 2) * h_ratio) + 1)
+    x_lo_c = jnp.maximum(0, _trunc_int((gt_yxhw[:, 1] - gt_yxhw[:, 3] / 2) * w_ratio) + 1)
+    y_hi_c = jnp.minimum(_trunc_int((gt_yxhw[:, 0] + gt_yxhw[:, 2] / 2) * h_ratio) + 1, hm)
+    x_hi_c = jnp.minimum(_trunc_int((gt_yxhw[:, 1] + gt_yxhw[:, 3] / 2) * w_ratio) + 1, wm)
+
+    deg_y = y_hi_c <= y_lo_c
+    deg_x = x_hi_c <= x_lo_c
+    y_cen_c = jnp.clip(_trunc_int((y_lo_c + y_hi_c) * 0.5), 0, hm - 1)
+    x_cen_c = jnp.clip(_trunc_int((x_lo_c + x_hi_c) * 0.5), 0, wm - 1)
+
+    jy = jnp.arange(hm, dtype=jnp.int32)
+    jx = jnp.arange(wm, dtype=jnp.int32)
+    cover_y = jnp.where(
+        deg_y[None, :],
+        jy[:, None] == y_cen_c[None, :],
+        (jy[:, None] >= y_lo_c[None, :]) & (jy[:, None] < y_hi_c[None, :]),
+    )
+    cover_x = jnp.where(
+        deg_x[None, :],
+        jx[:, None] == x_cen_c[None, :],
+        (jx[:, None] >= x_lo_c[None, :]) & (jx[:, None] < x_hi_c[None, :]),
+    )
+    cover = (
+        cover_y[:, None, :] & cover_x[None, :, :] & in_bin[None, None, :]
+    )  # [hm, wm, N]
+
+    # Smallest-area owner per cell (see module docstring on semantics).
+    area = bh * bw
+    owner = jnp.argmax(jnp.where(cover, -area[None, None, :], NEG_INF), axis=-1)
+    has = jnp.any(cover, axis=-1)
+
+    gy = (jnp.arange(hm, dtype=jnp.float32) + 0.5)[:, None]
+    gx = (jnp.arange(wm, dtype=jnp.float32) + 0.5)[None, :]
+    t = jnp.maximum(0.0, gy - y_lo_px[owner] / stride)
+    b = jnp.maximum(0.0, y_hi_px[owner] / stride - gy)
+    l = jnp.maximum(0.0, gx - x_lo_px[owner] / stride)
+    r = jnp.maximum(0.0, x_hi_px[owner] / stride - gx)
+
+    ratio_y = jnp.where(
+        deg_y[owner],
+        1.0,
+        (jnp.minimum(t, b) + EPS) / (jnp.maximum(t, b) + EPS),
+    )
+    ratio_x = jnp.where(
+        deg_x[owner],
+        1.0,
+        (jnp.minimum(l, r) + EPS) / (jnp.maximum(l, r) + EPS),
+    )
+    cen = jnp.sqrt(ratio_y * ratio_x)
+    # Force centerness 1.0 at the owning box's center cell
+    # (FCOS/fcos.py:279-280).
+    is_center = (jy[:, None] == y_cen_c[owner]) & (jx[None, :] == x_cen_c[owner])
+    cen = jnp.where(is_center, 1.0, cen)
+
+    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    out = jnp.concatenate(
+        [jnp.stack([t, b, l, r], axis=-1), cen[..., None], cls], axis=-1
+    )
+    out = out * has[..., None].astype(jnp.float32)
+    return out, jnp.sum(in_bin.astype(jnp.int32))
+
+
+def fcos_assign(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple | None = None,
+    num_classes: int,
+    strides: Sequence[int] = FCOS_STRIDES,
+    b_dim: Sequence[float] = FCOS_BIN_EDGES,
+):
+    """Full 5-level FCOS assignment. Returns (tuple of maps, [L] n_targets)."""
+    img_pad = img_pad or img_dim
+    outs, counts = [], []
+    for (lo, hi), stride in zip(_bin_bounds(b_dim, len(strides)), strides):
+        o, n = fcos_assign_level(
+            gt_yxhw, gt_labels, gt_valid,
+            img_dim=img_dim, img_pad=img_pad, num_classes=num_classes,
+            stride=stride, bin_lo=lo, bin_hi=hi,
+        )
+        outs.append(o)
+        counts.append(n)
+    return tuple(outs), jnp.stack(counts)
+
+
+# ---------------------------------------------------------------------------
+# FCOS-center assignment: 3x3 neighborhood (reference FCOS/fcos_center.py)
+# ---------------------------------------------------------------------------
+
+
+def fcos_center_assign_level(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple,
+    num_classes: int,
+    stride: int,
+    bin_lo: float,
+    bin_hi: float,
+    center_only: bool = False,
+):
+    """3x3 (or centroid-only) center-sampling assignment.
+
+    Parity with reference `FCOS/fcos_center.py:149-279`: center cell at
+    ``int(c * ratio + 0.5)``, neighborhood scores 1.0 / 0.5 / 0.25, higher
+    score wins the centerness channel; ltrb offsets (unclamped) and one-hot
+    class at each covered cell; layout ``[t, b, l, r, cen, one_hot]``.
+    """
+    hm = int(img_pad[0]) // stride
+    wm = int(img_pad[1]) // stride
+    h_ratio = img_dim[0] / stride
+    w_ratio = img_dim[1] / stride
+
+    y_c, x_c, bh, bw = _gt_pixels(gt_yxhw, img_dim)
+    max_side = jnp.maximum(bh, bw)
+    in_bin = gt_valid & (max_side >= bin_lo) & (max_side < bin_hi)
+
+    y_lo_px = (gt_yxhw[:, 0] - 0.5 * gt_yxhw[:, 2]) * img_dim[0]
+    x_lo_px = (gt_yxhw[:, 1] - 0.5 * gt_yxhw[:, 3]) * img_dim[1]
+    y_hi_px = (gt_yxhw[:, 0] + 0.5 * gt_yxhw[:, 2]) * img_dim[0]
+    x_hi_px = (gt_yxhw[:, 1] + 0.5 * gt_yxhw[:, 3]) * img_dim[1]
+
+    y_cen_c = _trunc_int(gt_yxhw[:, 0] * h_ratio + 0.5)
+    x_cen_c = _trunc_int(gt_yxhw[:, 1] * w_ratio + 0.5)
+
+    jy = jnp.arange(hm, dtype=jnp.int32)
+    jx = jnp.arange(wm, dtype=jnp.int32)
+    dy = jy[:, None] - y_cen_c[None, :]  # [hm, N]
+    dx = jx[:, None] - x_cen_c[None, :]  # [wm, N]
+    reach = 0 if center_only else 1
+    near_y = jnp.abs(dy) <= reach
+    near_x = jnp.abs(dx) <= reach
+    cover = near_y[:, None, :] & near_x[None, :, :] & in_bin[None, None, :]
+
+    # Center score per (cell, gt): 1.0 center, 0.25 diagonal, 0.5 edge
+    # (FCOS/fcos_center.py:253-260).
+    ady = jnp.abs(dy)[:, None, :]
+    adx = jnp.abs(dx)[None, :, :]
+    score = jnp.where(
+        (ady == 0) & (adx == 0),
+        1.0,
+        jnp.where((ady == 1) & (adx == 1), 0.25, 0.5),
+    )
+    cen = jnp.max(jnp.where(cover, score, 0.0), axis=-1)
+
+    # Reg/class owner: smallest area among covering boxes (see module doc).
+    area = bh * bw
+    owner = jnp.argmax(jnp.where(cover, -area[None, None, :], NEG_INF), axis=-1)
+    has = jnp.any(cover, axis=-1)
+
+    gy = (jnp.arange(hm, dtype=jnp.float32) + 0.5)[:, None]
+    gx = (jnp.arange(wm, dtype=jnp.float32) + 0.5)[None, :]
+    t = gy - y_lo_px[owner] / stride
+    b = y_hi_px[owner] / stride - gy
+    l = gx - x_lo_px[owner] / stride
+    r = x_hi_px[owner] / stride - gx
+
+    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    has_f = has[..., None].astype(jnp.float32)
+    out = jnp.concatenate(
+        [jnp.stack([t, b, l, r], axis=-1) * has_f, cen[..., None], cls * has_f],
+        axis=-1,
+    )
+    return out, jnp.sum(in_bin.astype(jnp.int32))
+
+
+def fcos_center_assign(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple | None = None,
+    num_classes: int,
+    strides: Sequence[int] = FCOS_STRIDES,
+    b_dim: Sequence[float] = FCOS_BIN_EDGES,
+    center_only: bool = False,
+):
+    img_pad = img_pad or img_dim
+    outs, counts = [], []
+    for (lo, hi), stride in zip(_bin_bounds(b_dim, len(strides)), strides):
+        o, n = fcos_center_assign_level(
+            gt_yxhw, gt_labels, gt_valid,
+            img_dim=img_dim, img_pad=img_pad, num_classes=num_classes,
+            stride=stride, bin_lo=lo, bin_hi=hi, center_only=center_only,
+        )
+        outs.append(o)
+        counts.append(n)
+    return tuple(outs), jnp.stack(counts)
+
+
+# ---------------------------------------------------------------------------
+# FCOS-center v1: centroid-only offset+scale (reference FCOS/fcos_center_v1.py)
+# ---------------------------------------------------------------------------
+
+
+def fcos_center_v1_assign_level(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple,
+    num_classes: int,
+    stride: int,
+    bin_lo: float,
+    bin_hi: float,
+    box_scale: float,
+):
+    """YOLO-style centroid-only assignment.
+
+    Parity with reference `FCOS/fcos_center_v1.py:226-254`: regression is
+    ``(y_off, x_off, h/box_scale, w/box_scale)`` at the centroid cell
+    (``int(c_px / stride)``), centerness and one-hot set to 1 there.
+    Layout ``[y_off, x_off, h_sc, w_sc, cen, one_hot]``.
+    """
+    hm = int(img_pad[0]) // stride
+    wm = int(img_pad[1]) // stride
+
+    y_c, x_c, bh, bw = _gt_pixels(gt_yxhw, img_dim)
+    max_side = jnp.maximum(bh, bw)
+    in_bin = gt_valid & (max_side >= bin_lo) & (max_side < bin_hi)
+
+    y_cell = _trunc_int(y_c / stride)
+    x_cell = _trunc_int(x_c / stride)
+    in_map = (y_cell >= 0) & (y_cell < hm) & (x_cell >= 0) & (x_cell < wm)
+    in_bin = in_bin & in_map
+
+    y_off = (y_c - y_cell.astype(jnp.float32) * stride) / stride
+    x_off = (x_c - x_cell.astype(jnp.float32) * stride) / stride
+    reg = jnp.stack([y_off, x_off, bh / box_scale, bw / box_scale], axis=-1)
+
+    jy = jnp.arange(hm, dtype=jnp.int32)
+    jx = jnp.arange(wm, dtype=jnp.int32)
+    cover = (
+        (jy[:, None, None] == y_cell[None, None, :])
+        & (jx[None, :, None] == x_cell[None, None, :])
+        & in_bin[None, None, :]
+    )
+    area = bh * bw
+    owner = jnp.argmax(jnp.where(cover, -area[None, None, :], NEG_INF), axis=-1)
+    has = jnp.any(cover, axis=-1)
+
+    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    has_f = has[..., None].astype(jnp.float32)
+    out = jnp.concatenate(
+        [reg[owner] * has_f, has_f, cls * has_f], axis=-1
+    )
+    return out, jnp.sum(in_bin.astype(jnp.int32))
+
+
+def fcos_center_v1_assign(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple | None = None,
+    num_classes: int,
+    strides: Sequence[int] = FCOS_STRIDES,
+    b_dim: Sequence[float] = FCOS_BIN_EDGES,
+    box_scales: Sequence[float] | None = None,
+):
+    """Per-level box_scales default to ``b_dim + [max(img_dim)]``
+    (reference `FCOS/fcos_center_v1.py:183-196`,
+    `train_fcos_center_v1_voc.py:141-142`)."""
+    img_pad = img_pad or img_dim
+    if box_scales is None:
+        box_scales = list(b_dim) + [float(max(img_dim))]
+    outs, counts = [], []
+    for (lo, hi), stride, sc in zip(
+        _bin_bounds(b_dim, len(strides)), strides, box_scales
+    ):
+        o, n = fcos_center_v1_assign_level(
+            gt_yxhw, gt_labels, gt_valid,
+            img_dim=img_dim, img_pad=img_pad, num_classes=num_classes,
+            stride=stride, bin_lo=lo, bin_hi=hi, box_scale=float(sc),
+        )
+        outs.append(o)
+        counts.append(n)
+    return tuple(outs), jnp.stack(counts)
+
+
+# ---------------------------------------------------------------------------
+# CenterNet scale-slot assignment (reference CenterNet/tf_centernet_resnet_s8)
+# ---------------------------------------------------------------------------
+
+
+def centernet_scale_slot_assign(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple | None = None,
+    num_classes: int,
+    box_scales: Sequence[float] = (32.0, 64.0, 128.0, 256.0, 512.0),
+    stride: int = 8,
+):
+    """Single stride-8 map with S scale slots; centroid-only assignment.
+
+    Parity with reference `CenterNet/tf_centernet_resnet_s8.py:243-330`:
+    slot = first scale with ``max(h, w) < box_scales[s]`` (boxes larger than
+    every scale are clamped to the last slot — the reference would crash);
+    the image is center-padded into ``img_pad``, regression is
+    ``(y_off/stride, x_off/stride, h/scale, w/scale)`` at the centroid cell.
+    Output ``[hm, wm, S, 4+nc]`` with layout ``[reg(4), one_hot(nc)]``.
+    """
+    img_pad = img_pad or img_dim
+    hm = int(img_pad[0]) // stride
+    wm = int(img_pad[1]) // stride
+    pad_y = int((img_pad[0] - img_dim[0]) / 2.0)
+    pad_x = int((img_pad[1] - img_dim[1]) / 2.0)
+    n_slots = len(box_scales)
+
+    y_c, x_c, bh, bw = _gt_pixels(gt_yxhw, img_dim)
+    box_d = jnp.maximum(bh, bw)
+    scales = jnp.asarray(box_scales, dtype=jnp.float32)
+    fits = box_d[:, None] < scales[None, :]  # [N, S]
+    slot = jnp.argmax(fits, axis=-1)
+    slot = jnp.where(jnp.any(fits, axis=-1), slot, n_slots - 1)
+
+    y_cell = _trunc_int((pad_y + y_c) / stride)
+    x_cell = _trunc_int((pad_x + x_c) / stride)
+    in_map = (y_cell >= 0) & (y_cell < hm) & (x_cell >= 0) & (x_cell < wm)
+    valid = gt_valid & in_map
+
+    y_off = (pad_y + y_c - y_cell.astype(jnp.float32) * stride) / stride
+    x_off = (pad_x + x_c - x_cell.astype(jnp.float32) * stride) / stride
+    slot_scale = scales[slot]
+    reg = jnp.stack([y_off, x_off, bh / slot_scale, bw / slot_scale], axis=-1)
+
+    jy = jnp.arange(hm, dtype=jnp.int32)
+    jx = jnp.arange(wm, dtype=jnp.int32)
+    js = jnp.arange(n_slots, dtype=jnp.int32)
+    cover = (
+        (jy[:, None, None, None] == y_cell[None, None, None, :])
+        & (jx[None, :, None, None] == x_cell[None, None, None, :])
+        & (js[None, None, :, None] == slot[None, None, None, :])
+        & valid[None, None, None, :]
+    )  # [hm, wm, S, N]
+    area = bh * bw
+    owner = jnp.argmax(jnp.where(cover, -area[None, None, None, :], NEG_INF), axis=-1)
+    has = jnp.any(cover, axis=-1)
+
+    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    has_f = has[..., None].astype(jnp.float32)
+    out = jnp.concatenate([reg[owner] * has_f, cls * has_f], axis=-1)
+    return out, jnp.sum(valid.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Hourglass assignment (reference CenterNet/train_hourglass_voc.py:99-199)
+# ---------------------------------------------------------------------------
+
+
+def hourglass_assign(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple | None = None,
+    num_classes: int,
+    box_scales: Sequence[float] | None = None,
+    stride: int = 8,
+):
+    """4-slot hourglass assignment with an explicit objectness channel.
+
+    Parity with the inline assigner of reference
+    `CenterNet/train_hourglass_voc.py:99-153`: slot = first scale with
+    **both** ``h < scale`` and ``w < scale`` (else last slot); the image is
+    center-padded into ``img_pad``; output ``[hm, wm, 4, 5+nc]`` with layout
+    ``[y_off, x_off, h_sc, w_sc, objectness, one_hot]``; offsets are
+    stride-normalized fractional centroid positions.
+    Default scales ``img_pad/2^x`` reversed = ``[d/8, d/4, d/2, d]``
+    (reference line 97-98).
+    """
+    img_pad = img_pad or img_dim
+    if box_scales is None:
+        d = float(img_pad[0])
+        box_scales = [d / 8.0, d / 4.0, d / 2.0, d]
+    hm = int(img_pad[0]) // stride
+    wm = int(img_pad[1]) // stride
+    pad_y = int((img_pad[0] - img_dim[0]) / 2.0)
+    pad_x = int((img_pad[1] - img_dim[1]) / 2.0)
+    n_slots = len(box_scales)
+
+    y_c, x_c, bh, bw = _gt_pixels(gt_yxhw, img_dim)
+    scales = jnp.asarray(box_scales, dtype=jnp.float32)
+    fits = (bh[:, None] < scales[None, :]) & (bw[:, None] < scales[None, :])
+    slot = jnp.argmax(fits, axis=-1)
+    slot = jnp.where(jnp.any(fits, axis=-1), slot, n_slots - 1)
+
+    y_cell = _trunc_int((pad_y + y_c) / stride)
+    x_cell = _trunc_int((pad_x + x_c) / stride)
+    in_map = (y_cell >= 0) & (y_cell < hm) & (x_cell >= 0) & (x_cell < wm)
+    valid = gt_valid & in_map & (bh >= 0) & (bw >= 0)
+
+    y_off = (pad_y + y_c - y_cell.astype(jnp.float32) * stride) / stride
+    x_off = (pad_x + x_c - x_cell.astype(jnp.float32) * stride) / stride
+    slot_scale = scales[slot]
+    reg = jnp.stack([y_off, x_off, bh / slot_scale, bw / slot_scale], axis=-1)
+
+    jy = jnp.arange(hm, dtype=jnp.int32)
+    jx = jnp.arange(wm, dtype=jnp.int32)
+    js = jnp.arange(n_slots, dtype=jnp.int32)
+    cover = (
+        (jy[:, None, None, None] == y_cell[None, None, None, :])
+        & (jx[None, :, None, None] == x_cell[None, None, None, :])
+        & (js[None, None, :, None] == slot[None, None, None, :])
+        & valid[None, None, None, :]
+    )
+    area = bh * bw
+    owner = jnp.argmax(jnp.where(cover, -area[None, None, None, :], NEG_INF), axis=-1)
+    has = jnp.any(cover, axis=-1)
+
+    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    has_f = has[..., None].astype(jnp.float32)
+    out = jnp.concatenate([reg[owner] * has_f, has_f, cls * has_f], axis=-1)
+    return out, jnp.sum(valid.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# CenterNet heatmap assignment (reference CenterNet/tf_centernet.py:152-342)
+# ---------------------------------------------------------------------------
+
+
+def centernet_heatmap_assign(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple | None = None,
+    num_classes: int,
+    stride: int = 8,
+    sigma: float = 0.25,
+    spread: float = 8.0,
+    heatmap_kind: str = "pseudo",
+):
+    """Single-map CenterNet assignment with a center-prior heatmap channel.
+
+    Parity with reference `CenterNet/tf_centernet.py:152-342`: ltrb targets
+    (full-box corners) are filled over the ``sigma``-shrunken box region;
+    the center channel holds a normalized center-distance prior — the
+    reference's pseudo-Gaussian ``1/(d^spread)`` product with
+    ``spread = 8.0`` (line 204-207), or a true Gaussian
+    (``heatmap_kind="gaussian"``, the reference's commented-out variant at
+    lines 21-40, with σ = max(1, sqrt(box area in cells))). Center cell of
+    the shrunken region is forced to 1.0. Output ``[hm, wm, 5+nc]``.
+    """
+    img_pad = img_pad or img_dim
+    hm = int(img_pad[0]) // stride
+    wm = int(img_pad[1]) // stride
+    h_ratio = img_dim[0] / stride
+    w_ratio = img_dim[1] / stride
+    h_lim = int(img_dim[0]) // stride
+    w_lim = int(img_dim[1]) // stride
+
+    y_c, x_c, bh, bw = _gt_pixels(gt_yxhw, img_dim)
+
+    y_lo_px = (gt_yxhw[:, 0] - 0.5 * gt_yxhw[:, 2]) * img_dim[0]
+    x_lo_px = (gt_yxhw[:, 1] - 0.5 * gt_yxhw[:, 3]) * img_dim[1]
+    y_hi_px = (gt_yxhw[:, 0] + 0.5 * gt_yxhw[:, 2]) * img_dim[0]
+    x_hi_px = (gt_yxhw[:, 1] + 0.5 * gt_yxhw[:, 3]) * img_dim[1]
+
+    # Shrunken-box cell region (tf_centernet.py:211-225); note the reference
+    # clips the upper bound to img_dim/stride, not img_pad/stride.
+    y_lo_c = jnp.maximum(0, 1 + _trunc_int((gt_yxhw[:, 0] - sigma * gt_yxhw[:, 2] / 2) * h_ratio))
+    x_lo_c = jnp.maximum(0, 1 + _trunc_int((gt_yxhw[:, 1] - sigma * gt_yxhw[:, 3] / 2) * w_ratio))
+    y_hi_c = jnp.minimum(1 + _trunc_int((gt_yxhw[:, 0] + sigma * gt_yxhw[:, 2] / 2) * h_ratio), h_lim)
+    x_hi_c = jnp.minimum(1 + _trunc_int((gt_yxhw[:, 1] + sigma * gt_yxhw[:, 3] / 2) * w_ratio), w_lim)
+
+    deg_y = y_hi_c <= y_lo_c
+    deg_x = x_hi_c <= x_lo_c
+    y_cen_c = jnp.clip(_trunc_int((y_lo_c + y_hi_c) * 0.5), 0, hm - 1)
+    x_cen_c = jnp.clip(_trunc_int((x_lo_c + x_hi_c) * 0.5), 0, wm - 1)
+
+    jy = jnp.arange(hm, dtype=jnp.int32)
+    jx = jnp.arange(wm, dtype=jnp.int32)
+    cover_y = jnp.where(
+        deg_y[None, :],
+        jy[:, None] == y_cen_c[None, :],
+        (jy[:, None] >= y_lo_c[None, :]) & (jy[:, None] < y_hi_c[None, :]),
+    )
+    cover_x = jnp.where(
+        deg_x[None, :],
+        jx[:, None] == x_cen_c[None, :],
+        (jx[:, None] >= x_lo_c[None, :]) & (jx[:, None] < x_hi_c[None, :]),
+    )
+    cover = cover_y[:, None, :] & cover_x[None, :, :] & gt_valid[None, None, :]
+
+    area = bh * bw
+    owner = jnp.argmax(jnp.where(cover, -area[None, None, :], NEG_INF), axis=-1)
+    has = jnp.any(cover, axis=-1)
+
+    gy = (jnp.arange(hm, dtype=jnp.float32) + 0.5)[:, None]
+    gx = (jnp.arange(wm, dtype=jnp.float32) + 0.5)[None, :]
+    t = jnp.maximum(0.0, gy - y_lo_px[owner] / stride)
+    b = jnp.maximum(0.0, y_hi_px[owner] / stride - gy)
+    l = jnp.maximum(0.0, gx - x_lo_px[owner] / stride)
+    r = jnp.maximum(0.0, x_hi_px[owner] / stride - gx)
+
+    # Center-prior heatmap around the owner's (shrunken-region) center cell.
+    mu_y = y_cen_c[owner].astype(jnp.float32)
+    mu_x = x_cen_c[owner].astype(jnp.float32)
+    dy = gy - mu_y
+    dx = gx - mu_x
+    if heatmap_kind == "pseudo":
+        # 1/(d^spread) per axis, normalized so the closest cell ~= 1
+        # (tf_centernet.py:6-19). Grid offsets of 0.5 keep |d| >= 0.5, and
+        # the per-box max over the region is approximated by the value at
+        # the center cell (|dy|=|dx|=0.5).
+        g = 1.0 / jnp.power(jnp.abs(dy) + EPS, spread)
+        g = g / jnp.power(jnp.abs(dx) + EPS, spread)
+        norm = 1.0 / jnp.power(0.5, 2.0 * spread)
+        cen = jnp.clip(g / norm, 0.0, 1.0)
+    else:
+        std = jnp.maximum(1.0, jnp.sqrt(area[owner] / (stride * stride)))
+        cen = jnp.exp(-(dy * dy + dx * dx) / (2.0 * std * std))
+    is_center = (jy[:, None] == y_cen_c[owner]) & (jx[None, :] == x_cen_c[owner])
+    cen = jnp.where(is_center, 1.0, cen)
+
+    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    out = jnp.concatenate(
+        [jnp.stack([t, b, l, r], axis=-1), cen[..., None], cls], axis=-1
+    )
+    out = out * has[..., None].astype(jnp.float32)
+    return out, jnp.sum(gt_valid.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# RetinaNet anchor-IoU assignment (reference RetinaNet/retinanet_module.py)
+# ---------------------------------------------------------------------------
+
+
+def retinanet_assign_level(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple,
+    num_classes: int,
+    stride: int,
+    anchors_hw: jnp.ndarray,
+    iou_thresh: float = 0.5,
+):
+    """One level of anchor-IoU matching.
+
+    Parity with reference `RetinaNet/retinanet_module.py:251-365`: anchors
+    centered at ``(cell_y * stride, cell_x * stride)`` with per-anchor
+    ``(h, w)`` from `anchors_hw [A, 2]`; every anchor with IoU > thresh is
+    assigned; regression is
+    ``((a_y - gt_y)/a_h, (a_x - gt_x)/a_w, gt_h/a_h, gt_w/a_w)``.
+    Deviation (documented): among several matching GTs the reference's
+    last-iterated GT wins; we pick the max-IoU GT (deterministic, standard).
+    Output ``[hm, wm, A, 4+nc]``.
+    """
+    hm = int(img_pad[0]) // stride
+    wm = int(img_pad[1]) // stride
+    n_anchor = anchors_hw.shape[0]
+
+    y_c, x_c, bh, bw = _gt_pixels(gt_yxhw, img_dim)
+    gt_boxes = jnp.stack([y_c, x_c, bh, bw], axis=-1)  # [N, 4] center fmt px
+
+    ay = (jnp.arange(hm, dtype=jnp.float32) * stride)[:, None, None]
+    ax = (jnp.arange(wm, dtype=jnp.float32) * stride)[None, :, None]
+    ah = anchors_hw[None, None, :, 0]
+    aw = anchors_hw[None, None, :, 1]
+    anchor_boxes = jnp.stack(
+        [
+            jnp.broadcast_to(ay, (hm, wm, n_anchor)),
+            jnp.broadcast_to(ax, (hm, wm, n_anchor)),
+            jnp.broadcast_to(ah, (hm, wm, n_anchor)),
+            jnp.broadcast_to(aw, (hm, wm, n_anchor)),
+        ],
+        axis=-1,
+    ).reshape(-1, 4)  # [hm*wm*A, 4]
+
+    iou = pairwise_iou_center(gt_boxes, anchor_boxes)  # [N, M]
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    matched = iou > iou_thresh  # [N, M]
+    best_gt = jnp.argmax(iou, axis=0)  # [M]
+    has = jnp.any(matched, axis=0)  # [M]
+
+    g = best_gt
+    a_yx = anchor_boxes[:, :2]
+    a_hw = anchor_boxes[:, 2:]
+    reg = jnp.concatenate(
+        [
+            (a_yx - jnp.stack([y_c[g], x_c[g]], axis=-1)) / a_hw,
+            jnp.stack([bh[g], bw[g]], axis=-1) / a_hw,
+        ],
+        axis=-1,
+    )
+    cls = jnn.one_hot(gt_labels[g], num_classes, dtype=jnp.float32)
+    has_f = has[:, None].astype(jnp.float32)
+    out = jnp.concatenate([reg * has_f, cls * has_f], axis=-1)
+    out = out.reshape(hm, wm, n_anchor, 4 + num_classes)
+    return out, jnp.sum(matched.astype(jnp.int32))
+
+
+def retinanet_assign(
+    gt_yxhw,
+    gt_labels,
+    gt_valid,
+    *,
+    img_dim: tuple,
+    img_pad: tuple | None = None,
+    num_classes: int,
+    anchors_per_level: Sequence[jnp.ndarray],
+    strides: Sequence[int] = FCOS_STRIDES,
+    iou_thresh: float = 0.5,
+):
+    """All-level anchor matching. `anchors_per_level[l]` is ``[A, 2]`` (h,w)."""
+    img_pad = img_pad or img_dim
+    outs, count = [], jnp.int32(0)
+    for stride, anchors_hw in zip(strides, anchors_per_level):
+        o, n = retinanet_assign_level(
+            gt_yxhw, gt_labels, gt_valid,
+            img_dim=img_dim, img_pad=img_pad, num_classes=num_classes,
+            stride=stride, anchors_hw=anchors_hw, iou_thresh=iou_thresh,
+        )
+        outs.append(o)
+        count = count + n
+    return tuple(outs), count

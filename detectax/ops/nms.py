@@ -1,0 +1,199 @@
+"""Fixed-shape, deterministic NMS for TPU.
+
+One kernel (+ flags) replaces the reference's three NMS variants
+(SURVEY.md §2.5.6):
+
+* TF ``combined_non_max_suppression`` — batched, class-aware
+  (`FCOS/infer_fcos.py:58-61`) → ``class_aware=True``.
+* numpy class-wise NMS with soft-NMS option
+  (`CenterNet/tf_centernet_resnet_s8.py:44-85`) → ``class_aware=True`` +
+  ``mode="soft"``.
+* pure-python class-agnostic ``cpu_nms``
+  (`RetinaNet/retinanet_module.py:453-481`) → ``class_aware=False``.
+
+Everything is static-shape: callers pre-select K candidates with
+`select_top_k`, suppression runs over a ``[K, K]`` IoU matrix with a
+`lax.fori_loop`, and results come back padded to ``max_outputs`` with a
+validity mask. Class-aware mode uses the class-offset trick (boxes shifted
+by ``class_id * OFFSET`` so cross-class IoU is 0) rather than a per-class
+Python loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from detectax.ops.boxes import pairwise_iou_corners
+
+CLASS_OFFSET = 1e5
+
+
+def select_top_k(
+    boxes: jnp.ndarray,
+    cls_scores: jnp.ndarray,
+    k: int,
+    class_aware_candidates: bool = False,
+):
+    """Select the top-k candidate (box, score, class) triples.
+
+    Args:
+      boxes: ``[M, 4]`` corner boxes.
+      cls_scores: ``[M, C]`` per-class probabilities.
+      k: static number of candidates to keep.
+      class_aware_candidates: if True, rank all ``M*C`` (box, class) pairs
+        (TF combined-NMS semantics, a box can surface under several
+        classes); if False, rank boxes by their max-prob class (the
+        reference's `cpu_nms` path, `retinanet_module.py:510-524`).
+
+    Returns:
+      (boxes ``[k, 4]``, scores ``[k]``, classes ``[k]`` int32)
+    """
+    m, c = cls_scores.shape
+    if class_aware_candidates:
+        flat = cls_scores.reshape(-1)  # [M*C]
+        k_eff = min(k, m * c)
+        scores, idx = jax.lax.top_k(flat, k_eff)
+        box_idx = idx // c
+        classes = (idx % c).astype(jnp.int32)
+        out_boxes = boxes[box_idx]
+    else:
+        best = jnp.max(cls_scores, axis=-1)
+        k_eff = min(k, m)
+        scores, box_idx = jax.lax.top_k(best, k_eff)
+        classes = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)[box_idx]
+        out_boxes = boxes[box_idx]
+    if k_eff < k:
+        pad = k - k_eff
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad), constant_values=-1.0)
+        classes = jnp.pad(classes, (0, pad))
+    return out_boxes, scores, classes
+
+
+def _suppression_mask(iou: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """Greedy hard-NMS keep mask for score-descending candidates.
+
+    ``keep[i] = no kept j < i has iou[j, i] > thresh`` — the classic greedy
+    rule, evaluated with a sequential `fori_loop` whose body is a full
+    vector op (O(K) steps of O(K) VPU work).
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        row_sup = (iou[i] > thresh) & (idx > i) & keep[i]
+        return keep & ~row_sup
+
+    return jax.lax.fori_loop(0, k, body, jnp.ones(k, dtype=bool))
+
+
+def _soft_nms_scores(
+    iou: jnp.ndarray, scores: jnp.ndarray, sigma: float
+) -> jnp.ndarray:
+    """Soft-NMS rescoring (Bodla et al. 2017), Gaussian decay.
+
+    Parity with reference `CenterNet/tf_centernet_resnet_s8.py:76-81`:
+    ``score *= exp(-iou^2 / sigma)`` against each selected box, applied in
+    score order. Returns the decayed scores; callers threshold afterwards.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(_, state):
+        scores_cur, done = state
+        masked = jnp.where(done, -jnp.inf, scores_cur)
+        i = jnp.argmax(masked)
+        weight = jnp.exp(-(iou[i] ** 2) / sigma)
+        others = ~done & (idx != i)
+        scores_new = jnp.where(others, scores_cur * weight, scores_cur)
+        return scores_new, done.at[i].set(True)
+
+    scores_out, _ = jax.lax.fori_loop(
+        0, k, body, (scores, jnp.zeros(k, dtype=bool))
+    )
+    return scores_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iou_thresh",
+        "score_thresh",
+        "max_outputs",
+        "class_aware",
+        "mode",
+        "soft_sigma",
+    ),
+)
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    *,
+    iou_thresh: float = 0.5,
+    score_thresh: float = 0.0,
+    max_outputs: int = 100,
+    class_aware: bool = True,
+    mode: str = "hard",
+    soft_sigma: float = 0.3,
+):
+    """Deterministic fixed-shape NMS over K pre-selected candidates.
+
+    Args:
+      boxes: ``[K, 4]`` corner boxes (any consistent axis order).
+      scores: ``[K]``; classes: ``[K]`` int32.
+
+    Returns:
+      dict of ``boxes [max_outputs, 4]``, ``scores [max_outputs]``,
+      ``classes [max_outputs]``, ``valid [max_outputs]`` bool, and
+      ``num_valid`` scalar — sorted by final score descending.
+    """
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    classes_s = classes[order]
+
+    nms_boxes = boxes_s
+    if class_aware:
+        nms_boxes = boxes_s + (
+            classes_s.astype(boxes.dtype)[:, None] * CLASS_OFFSET
+        )
+    iou = pairwise_iou_corners(nms_boxes, nms_boxes)
+
+    if mode == "soft":
+        new_scores = _soft_nms_scores(iou, scores_s, soft_sigma)
+        # Re-rank by decayed score; keep everything above threshold
+        # (reference drops boxes decayed to <= 0,
+        # tf_centernet_resnet_s8.py:83-84).
+        reorder = jnp.argsort(-new_scores)
+        boxes_s = boxes_s[reorder]
+        classes_s = classes_s[reorder]
+        scores_s = new_scores[reorder]
+        keep = scores_s > jnp.maximum(score_thresh, 0.0)
+    else:
+        keep = _suppression_mask(iou, iou_thresh)
+        keep = keep & (scores_s >= score_thresh)
+
+    # Compact kept entries to the front, pad to max_outputs.
+    rank = jnp.where(keep, jnp.cumsum(keep) - 1, boxes.shape[0])
+    out_idx = jnp.argsort(
+        jnp.where(keep, rank, boxes.shape[0] + jnp.arange(boxes.shape[0]))
+    )[:max_outputs]
+    valid = keep[out_idx]
+    vf = valid.astype(boxes.dtype)
+    return {
+        "boxes": boxes_s[out_idx] * vf[:, None],
+        "scores": scores_s[out_idx] * vf,
+        "classes": jnp.where(valid, classes_s[out_idx], -1),
+        "valid": valid,
+        "num_valid": jnp.sum(keep.astype(jnp.int32)),
+    }
+
+
+def batched_nms(boxes, scores, classes, **kwargs):
+    """vmap of `nms` over a leading batch axis (TF combined-NMS shape)."""
+    return jax.vmap(lambda b, s, c: nms(b, s, c, **kwargs))(
+        boxes, scores, classes
+    )
