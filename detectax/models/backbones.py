@@ -1,0 +1,187 @@
+"""Backbone zoo (Flax, from scratch, NHWC).
+
+Mirrors the reference's backbone options — ResNet-50/101/152
+(`RetinaNet/retinanet_module.py:32-52`), ResNeXt-50/101 (ibid:53-66, via
+grouped convolutions), MobileNetV2 (`FCOS/fcos.py:37-41`) — but trains from
+scratch with He init + BN instead of loading ImageNet Keras weights
+(SURVEY.md §7.1: weight porting is a tool, not a dependency). Each backbone
+returns the C3/C4/C5 taps (strides 8/16/32) the detectors consume.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from detectax.models.layers import ConvBN
+
+Dtype = Any
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet-v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4), BN+ReLU."""
+
+    features: int  # bottleneck width; output is 4x
+    stride: int = 1
+    groups: int = 1
+    project: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        if self.project:
+            shortcut = ConvBN(
+                4 * self.features, kernel=1, stride=self.stride, act=False,
+                dtype=self.dtype, name="proj",
+            )(x, train)
+        h = ConvBN(self.features, kernel=1, dtype=self.dtype)(x, train)
+        h = ConvBN(
+            self.features, kernel=3, stride=self.stride, groups=self.groups,
+            dtype=self.dtype,
+        )(h, train)
+        h = ConvBN(4 * self.features, kernel=1, act=False, dtype=self.dtype)(
+            h, train
+        )
+        return nn.relu(h + shortcut)
+
+
+class ResNet(nn.Module):
+    """ResNet / ResNeXt trunk with C3/C4/C5 taps.
+
+    `stage_sizes`: blocks per stage (C2..C5), e.g. (3,4,6,3) for ResNet-50.
+    `groups > 1` + `width_factor=2` yields ResNeXt (32x4d when groups=32).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    groups: int = 1
+    width_factor: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBN(self.width, kernel=7, stride=2, dtype=self.dtype,
+                   name="stem")(x, train)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+        taps = {}
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            feats = self.width * (2**stage) * self.width_factor
+            for blk in range(n_blocks):
+                stride = 2 if (blk == 0 and stage > 0) else 1
+                h = BottleneckBlock(
+                    feats,
+                    stride=stride,
+                    groups=self.groups,
+                    project=(blk == 0),
+                    dtype=self.dtype,
+                    name=f"stage{stage + 2}_block{blk}",
+                )(h, train)
+            if stage >= 1:
+                taps[f"c{stage + 2}"] = h
+        return taps  # c3: stride 8, c4: stride 16, c5: stride 32
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual block."""
+
+    features: int
+    stride: int = 1
+    expand: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        h = x
+        if self.expand != 1:
+            h = ConvBN(in_ch * self.expand, kernel=1, dtype=self.dtype,
+                       name="expand")(h, train)
+        h = nn.Conv(
+            h.shape[-1], (3, 3), strides=(self.stride, self.stride),
+            padding="SAME", feature_group_count=h.shape[-1], use_bias=False,
+            dtype=self.dtype, name="depthwise",
+        )(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(h)
+        h = nn.relu6(h)
+        h = ConvBN(self.features, kernel=1, act=False, dtype=self.dtype,
+                   name="project")(h, train)
+        if self.stride == 1 and in_ch == self.features:
+            h = h + x
+        return h
+
+
+# (expand, channels, repeats, first-stride) per group — standard MobileNetV2
+MBV2_CONFIG = (
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+)
+
+
+class MobileNetV2(nn.Module):
+    """MobileNetV2 trunk with taps at the reference's extraction points:
+    stride-8 (post 32-ch group ≈ block_6_expand), stride-16 (post 96-ch
+    group ≈ block_13_expand), stride-32 final 1280-ch conv (Conv_1) —
+    `FCOS/fcos.py:40-41`."""
+
+    width_mult: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def c(ch):
+            return max(8, int(ch * self.width_mult + 4) // 8 * 8)
+
+        h = ConvBN(c(32), kernel=3, stride=2, dtype=self.dtype,
+                   name="stem")(x, train)
+        taps = {}
+        current_stride = 2
+        for gi, (exp, ch, reps, s0) in enumerate(MBV2_CONFIG):
+            for r in range(reps):
+                stride = s0 if r == 0 else 1
+                current_stride *= stride
+                h = InvertedResidual(
+                    c(ch), stride=stride, expand=exp, dtype=self.dtype,
+                    name=f"group{gi}_block{r}",
+                )(h, train)
+            if gi == 2:
+                taps["c3"] = h  # stride 8
+            elif gi == 4:
+                taps["c4"] = h  # stride 16
+        h = ConvBN(c(1280), kernel=1, dtype=self.dtype, name="head_conv")(
+            h, train
+        )
+        taps["c5"] = h  # stride 32
+        return taps
+
+
+BACKBONES = {
+    "resnet50": lambda dtype: ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype),
+    "resnet101": lambda dtype: ResNet(stage_sizes=(3, 4, 23, 3), dtype=dtype),
+    "resnet152": lambda dtype: ResNet(stage_sizes=(3, 8, 36, 3), dtype=dtype),
+    "resnext50": lambda dtype: ResNet(
+        stage_sizes=(3, 4, 6, 3), groups=32, width_factor=2, dtype=dtype
+    ),
+    "resnext101": lambda dtype: ResNet(
+        stage_sizes=(3, 4, 23, 3), groups=32, width_factor=2, dtype=dtype
+    ),
+    "mobilenetv2": lambda dtype: MobileNetV2(dtype=dtype),
+}
+
+
+def build_backbone(name: str, dtype=jnp.float32) -> nn.Module:
+    try:
+        return BACKBONES[name.lower()](dtype)
+    except KeyError:
+        raise ValueError(
+            f"unknown backbone {name!r}; options: {sorted(BACKBONES)}"
+        ) from None

@@ -1,0 +1,220 @@
+"""Shared NN building blocks (Flax linen, NHWC, TPU-friendly).
+
+Conventions: parameters live in fp32 (`param_dtype`); compute dtype is
+configurable (bf16 on TPU for MXU throughput). BatchNorm keeps running
+statistics in the `batch_stats` collection; pass `train=True` to update.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Focal-prior bias log(0.01/0.99) used by every classification head in the
+# reference (`FCOS/fcos.py:11-13`).
+FOCAL_BIAS = math.log(0.01 / 0.99)
+
+
+def focal_bias_init(key, shape, dtype=jnp.float32):
+    return jnp.full(shape, FOCAL_BIAS, dtype=dtype)
+
+
+def upsample2x(x: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
+    """2x spatial upsampling.
+
+    `nearest` matches Keras UpSampling2D default (FPN residual paths,
+    `FCOS/fcos.py:57-60`); `bilinear` matches the hourglass decoder
+    (`CenterNet/tf_hourglass_net.py:223-224`).
+    """
+    b, h, w, c = x.shape
+    if method == "nearest":
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/b, W/b, C*b*b].
+
+    TPU-friendly re-layout used for the hourglass multi-resolution feature
+    concat: the reference flattens each stage to stride-8 dims with a raw
+    `tf.reshape` (`CenterNet/tf_hourglass_net.py:275-316`); we use a proper
+    pixel-unshuffle (same element count, spatially coherent) — documented
+    deviation.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, c * block * block)
+
+
+def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H*b, W*b, C/(b*b)] (inverse of space_to_depth)."""
+    b, h, w, c = x.shape
+    cs = c // (block * block)
+    x = x.reshape(b, h, w, block, block, cs)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * block, w * block, cs)
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm + optional ReLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    act: bool = True
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class SeparableConv(nn.Module):
+    """Depthwise-separable conv (Keras SeparableConv2D equivalent)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            feature_group_count=in_ch,
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=self.use_bias, dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        return x
+
+
+class HourglassConvBlock(nn.Module):
+    """Reference `cnn_block` (CenterNet/tf_hourglass_net.py:34-79):
+    `n_repeats` of [BN (norm_first) -> (separable)conv -> relu], with a
+    residual add from the block input on repeats > 0."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    n_repeats: int = 1
+    separable: bool = True
+    batch_norm: bool = True
+    norm_order: str = "norm_first"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x
+        for i in range(self.n_repeats):
+            h = inp
+            if self.batch_norm and self.norm_order == "norm_first":
+                h = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",
+                )(h)
+            conv = (
+                SeparableConv(self.features, self.kernel, self.stride,
+                              dtype=self.dtype, name=f"conv_{i}")
+                if self.separable
+                else nn.Conv(
+                    self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    dtype=self.dtype, name=f"conv_{i}",
+                )
+            )
+            h = conv(h)
+            if self.batch_norm and self.norm_order == "norm_last":
+                h = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",
+                )(h)
+            h = nn.relu(h)
+            out = h if i == 0 else h + inp
+            inp = out
+        return inp
+
+
+class HourglassDownsample(nn.Module):
+    """Reference `downsample_block` (tf_hourglass_net.py:81-113):
+    BN -> stride-2 (separable)conv -> relu."""
+
+    features: int
+    kernel: int = 3
+    separable: bool = True
+    batch_norm: bool = True
+    norm_order: str = "norm_first"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = x
+        if self.batch_norm and self.norm_order == "norm_first":
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype,
+            )(h)
+        conv = (
+            SeparableConv(self.features, self.kernel, 2, dtype=self.dtype)
+            if self.separable
+            else nn.Conv(
+                self.features, (self.kernel, self.kernel), strides=(2, 2),
+                padding="SAME", dtype=self.dtype,
+            )
+        )
+        h = conv(h)
+        if self.batch_norm and self.norm_order == "norm_last":
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype,
+            )(h)
+        return nn.relu(h)
+
+
+class FocalBias(nn.Module):
+    """Trainable scalar bias initialized to the focal prior.
+
+    Equivalent of the reference's `BiasLayer`
+    (`CenterNet/tf_bias_layer.py:4-14`) applied to hourglass class logits.
+    """
+
+    init_value: float = FOCAL_BIAS
+
+    @nn.compact
+    def __call__(self, x):
+        b = self.param(
+            "bias", lambda k: jnp.asarray(self.init_value, jnp.float32)
+        )
+        return x + b.astype(x.dtype)
