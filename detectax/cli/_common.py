@@ -1,0 +1,63 @@
+"""Shared CLI plumbing for the train/infer entry points."""
+from __future__ import annotations
+
+import argparse
+
+from detectax.train.driver import TrainConfig
+
+
+def add_train_args(p: argparse.ArgumentParser, **defaults):
+    d = lambda k, v: defaults.get(k, v)
+    p.add_argument("--index", default=d("index", None),
+                   help="dataset index json (default: synthetic dataset)")
+    p.add_argument("--synthetic_n", type=int, default=d("synthetic_n", 128),
+                   help="synthetic dataset size when --index is not given")
+    p.add_argument("--batch_size", type=int, default=d("batch_size", 16))
+    p.add_argument("--canvas", type=int, default=d("canvas", 384))
+    p.add_argument("--max_boxes", type=int, default=d("max_boxes", 64))
+    p.add_argument("--max_steps", type=int, default=d("max_steps", 20000))
+    p.add_argument("--backbone", default=d("backbone", "resnet50"))
+    p.add_argument("--init_lr", type=float, default=d("init_lr", 5e-4))
+    p.add_argument("--microbatch", type=int, default=d("microbatch", None))
+    p.add_argument("--ckpt_dir", default=d("ckpt_dir", "ckpt"))
+    p.add_argument("--out_dir", default=d("out_dir", "outputs"))
+    p.add_argument("--display_step", type=int, default=d("display_step", 50))
+    p.add_argument("--step_save", type=int, default=d("step_save", 500))
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--dump_visuals", action="store_true",
+                   help="write GT/pred heatmap + overlay jpgs on display steps")
+    p.add_argument("--seed", type=int, default=d("seed", 0))
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (fp32 params/loss)")
+    return p
+
+
+def dataset_from_args(args):
+    if args.index:
+        from detectax.data.index import IndexDataset
+
+        return IndexDataset(args.index)
+    from detectax.data.synthetic import SyntheticDataset
+
+    return SyntheticDataset(n=args.synthetic_n, img_size=args.canvas)
+
+
+def config_from_args(args, **overrides) -> TrainConfig:
+    cfg = TrainConfig(
+        index=args.index,
+        batch_size=args.batch_size,
+        canvas=args.canvas,
+        max_boxes=args.max_boxes,
+        max_steps=args.max_steps,
+        microbatch=args.microbatch,
+        ckpt_dir=args.ckpt_dir,
+        out_dir=args.out_dir,
+        display_step=args.display_step,
+        step_save=args.step_save,
+        resume=args.resume,
+        dump_visuals=args.dump_visuals,
+        seed=args.seed,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg

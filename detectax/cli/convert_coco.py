@@ -1,0 +1,4 @@
+from detectax.data.convert_coco import main  # noqa: F401
+
+if __name__ == "__main__":
+    main()

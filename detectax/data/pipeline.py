@@ -1,0 +1,268 @@
+"""Host input pipeline: decode → augment → resize/pad-to-canvas → batch.
+
+Replaces the reference's per-image eager preprocessing
+(`FCOS/data_preprocess.py:96-133`) with a host-side numpy/PIL pipeline that
+emits **static-shape** batches for XLA (SURVEY.md §7.3.3):
+
+* Both reference resize paths are supported: the scale-jittered
+  aspect-preserving resize-and-pad (`pad_flag=True`,
+  `data_preprocess.py:43-94`) and the fixed square resize
+  (`pad_flag=False`, `data_preprocess.py:111-113`).
+* Random horizontal flip with box remap (`data_preprocess.py:24-41`).
+* All three reference pixel normalizations (`tf`: /127.5-1, `unit`: /255,
+  `none`) — the reference mixes them per model (SURVEY.md §7.3.6).
+* Boxes come out **canvas-normalized** ``(y_cen, x_cen, h, w)`` padded to
+  ``max_boxes`` with a validity mask, so on-device assignment runs with
+  static ``img_dim == img_pad == canvas`` and reproduces the reference's
+  pixel-space math exactly (padding offsets are already folded in).
+* Host sharding for multi-host data parallelism (each process reads its
+  own slice) and a background prefetch thread.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def decode_image(record: dict) -> np.ndarray:
+    """Return HWC float32 image from an index record (array or file)."""
+    if "image" in record and record["image"] is not None:
+        img = np.asarray(record["image"], dtype=np.float32)
+        return img
+    path = record["image_path"]
+    if Image is None:
+        raise RuntimeError("PIL required to decode image files")
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        return np.asarray(im, dtype=np.float32)
+
+
+def _resize(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    pil = pil.resize((out_hw[1], out_hw[0]), Image.BILINEAR)
+    return np.asarray(pil, dtype=np.float32)
+
+
+def flip_horizontal(img: np.ndarray, boxes_xyxy: np.ndarray):
+    """Reference `random_flip_horizontal` (data_preprocess.py:24-41)."""
+    img = img[:, ::-1, :]
+    if len(boxes_xyxy):
+        boxes_xyxy = np.stack(
+            [
+                1.0 - boxes_xyxy[:, 2],
+                boxes_xyxy[:, 1],
+                1.0 - boxes_xyxy[:, 0],
+                boxes_xyxy[:, 3],
+            ],
+            axis=-1,
+        )
+    return img, boxes_xyxy
+
+
+def normalize_pixels(img: np.ndarray, mode: str) -> np.ndarray:
+    if mode == "tf":
+        return img / 127.5 - 1.0
+    if mode == "unit":
+        return img / 255.0
+    if mode == "none":
+        return img
+    raise ValueError(f"unknown normalize mode {mode!r}")
+
+
+def place_on_canvas(
+    img: np.ndarray,
+    boxes_xyxy: np.ndarray,
+    canvas: tuple[int, int],
+    *,
+    mode: str = "resize_pad",
+    pad_position: str = "topleft",
+    jitter: tuple[float, float] | None = None,
+    rng: np.random.Generator | None = None,
+):
+    """Resize an image (+normalized corner boxes) onto a fixed canvas.
+
+    mode="resize_pad": aspect-preserving, short side = canvas min (or a
+      jittered value), long side capped at canvas, zero pad (reference
+      resize_and_pad_image). mode="stretch": non-aspect square resize
+      (reference pad_flag=False path).
+
+    Returns (canvas_img, boxes_yxhw canvas-normalized, content_hw).
+    """
+    ch, cw = canvas
+    h, w = img.shape[:2]
+    if mode == "stretch":
+        content = _resize(img, (ch, cw))
+        out = content
+        new_h, new_w = ch, cw
+        off_y = off_x = 0
+        scale_boxes = boxes_xyxy  # already normalized, canvas == content
+    else:
+        min_side = float(min(ch, cw))
+        if jitter is not None and rng is not None:
+            min_side = float(rng.uniform(jitter[0], jitter[1]))
+        ratio = min_side / min(h, w)
+        if ratio * max(h, w) > max(ch, cw):
+            ratio = max(ch, cw) / max(h, w)
+        new_h = min(int(round(h * ratio)), ch)
+        new_w = min(int(round(w * ratio)), cw)
+        content = _resize(img, (new_h, new_w))
+        out = np.zeros((ch, cw, img.shape[2]), dtype=np.float32)
+        if pad_position == "center":
+            off_y = (ch - new_h) // 2
+            off_x = (cw - new_w) // 2
+        else:
+            off_y = off_x = 0
+        out[off_y:off_y + new_h, off_x:off_x + new_w] = content
+        scale_boxes = boxes_xyxy
+
+    if len(scale_boxes):
+        # corner (x1,y1,x2,y2) normalized over content -> canvas pixels
+        x1 = scale_boxes[:, 0] * new_w + off_x
+        y1 = scale_boxes[:, 1] * new_h + off_y
+        x2 = scale_boxes[:, 2] * new_w + off_x
+        y2 = scale_boxes[:, 3] * new_h + off_y
+        yc = (y1 + y2) / 2.0 / ch
+        xc = (x1 + x2) / 2.0 / cw
+        bh = (y2 - y1) / ch
+        bw = (x2 - x1) / cw
+        boxes_yxhw = np.stack([yc, xc, bh, bw], axis=-1).astype(np.float32)
+    else:
+        boxes_yxhw = np.zeros((0, 4), dtype=np.float32)
+    return out, boxes_yxhw, (new_h, new_w)
+
+
+def pad_gt(boxes_yxhw: np.ndarray, labels: np.ndarray, max_boxes: int):
+    n = min(len(boxes_yxhw), max_boxes)
+    b = np.zeros((max_boxes, 4), np.float32)
+    l = np.zeros((max_boxes,), np.int32)
+    v = np.zeros((max_boxes,), bool)
+    if n:
+        b[:n] = boxes_yxhw[:n]
+        l[:n] = labels[:n]
+        v[:n] = True
+    return b, l, v
+
+
+class Loader:
+    """Batched, host-sharded, prefetching loader over a map-style dataset.
+
+    Dataset items are dicts with either ``image`` (HWC array) or
+    ``image_path``, plus ``boxes_xyxy`` (normalized corners, x1y1x2y2) and
+    ``labels``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        canvas: int | tuple[int, int] = 512,
+        max_boxes: int = 64,
+        *,
+        mode: str = "resize_pad",
+        pad_position: str = "topleft",
+        jitter: tuple[float, float] | None = None,
+        flip: bool = True,
+        normalize: str = "tf",
+        shuffle: bool = True,
+        seed: int = 0,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        prefetch: int = 2,
+        steps: int | None = None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.canvas = (canvas, canvas) if isinstance(canvas, int) else canvas
+        self.max_boxes = max_boxes
+        self.mode = mode
+        self.pad_position = pad_position
+        self.jitter = jitter
+        self.flip = flip
+        self.normalize = normalize
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.prefetch = prefetch
+        self.steps = steps
+
+    def _indices(self, rng: np.random.Generator) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(idx)
+        return idx[self.host_id:: self.num_hosts]
+
+    def _make_example(self, record: dict, rng: np.random.Generator):
+        img = decode_image(record)
+        boxes = np.asarray(record["boxes_xyxy"], np.float32)
+        labels = np.asarray(record["labels"], np.int32)
+        if self.flip and rng.uniform() <= 0.5:
+            img, boxes = flip_horizontal(img, boxes)
+        img, boxes_yxhw, content = place_on_canvas(
+            img, boxes, self.canvas,
+            mode=self.mode, pad_position=self.pad_position,
+            jitter=self.jitter, rng=rng,
+        )
+        img = normalize_pixels(img, self.normalize)
+        b, l, v = pad_gt(boxes_yxhw, labels, self.max_boxes)
+        return img, b, l, v
+
+    def _batches(self) -> Iterator[dict]:
+        step = 0
+        epoch = 0
+        while True:
+            idx = self._indices(np.random.default_rng((self.seed, epoch)))
+            for s in range(0, len(idx) - self.batch_size + 1, self.batch_size):
+                chunk = idx[s:s + self.batch_size]
+                imgs, bs, ls, vs = [], [], [], []
+                ex_rng = np.random.default_rng(
+                    (self.seed, step, self.host_id)
+                )
+                for i in chunk:
+                    img, b, l, v = self._make_example(self.ds[int(i)], ex_rng)
+                    imgs.append(img)
+                    bs.append(b)
+                    ls.append(l)
+                    vs.append(v)
+                yield {
+                    "images": np.stack(imgs),
+                    "boxes": np.stack(bs),
+                    "labels": np.stack(ls),
+                    "valid": np.stack(vs),
+                }
+                step += 1
+                if self.steps is not None and step >= self.steps:
+                    return
+            epoch += 1
+            if self.steps is None:
+                return  # single pass when no step budget is given
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -1,0 +1,174 @@
+"""Inference: jitted forward → decode → fixed-shape NMS.
+
+Replaces the reference's decode paths (`FCOS/infer_fcos.py:27-62`,
+`RetinaNet/retinanet_module.py:483-530` — whose per-cell Python list-comps
+were its worst hot spot, SURVEY.md §3.5 — and
+`CenterNet/tf_centernet_resnet_s8.py:446-599`) with one compiled pipeline:
+per-level decode (ops.boxes / ops.anchors), candidate top-k, and the shared
+deterministic NMS (ops.nms). Everything static-shape; batch-first.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from detectax.ops import anchors as anchor_lib
+from detectax.ops import nms as nms_lib
+from detectax.ops.boxes import ltrb_to_corners, offset_scale_to_corners
+
+FCOS_STRIDES = (8, 16, 32, 64, 128)
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def fcos_decode(
+    outputs: Sequence[jnp.ndarray],
+    *,
+    strides: Sequence[int] = FCOS_STRIDES,
+    use_centerness: bool = True,
+):
+    """FCOS ltrb decode (`infer_fcos.py:27-57`): per level ltrb→corners at
+    grid+0.5, scores = σ(cls) [× σ(cen)]. Returns (boxes [B,M,4] pixels
+    yxyx, probs [B,M,nc])."""
+    all_boxes, all_probs = [], []
+    for out, stride in zip(outputs, strides):
+        reg = out[..., :4]
+        cen = out[..., 4]
+        cls = out[..., 5:]
+        boxes = ltrb_to_corners(reg, float(stride))
+        probs = _sigmoid(cls)
+        if use_centerness:
+            probs = probs * _sigmoid(cen)[..., None]
+        b = out.shape[0]
+        all_boxes.append(boxes.reshape(b, -1, 4))
+        all_probs.append(probs.reshape(b, -1, probs.shape[-1]))
+    return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_probs, axis=1)
+
+
+def fcos_center_v1_decode(
+    outputs: Sequence[jnp.ndarray],
+    *,
+    strides: Sequence[int] = FCOS_STRIDES,
+    box_scales: Sequence[float],
+):
+    """Offset+scale decode (`fcos_center_v1.py:125-147`)."""
+    all_boxes, all_probs = [], []
+    for out, stride, sc in zip(outputs, strides, box_scales):
+        reg = out[..., :4]
+        cen = out[..., 4]
+        cls = out[..., 5:]
+        boxes = offset_scale_to_corners(reg, float(sc), float(stride))
+        probs = _sigmoid(cls) * _sigmoid(cen)[..., None]
+        b = out.shape[0]
+        all_boxes.append(boxes.reshape(b, -1, 4))
+        all_probs.append(probs.reshape(b, -1, probs.shape[-1]))
+    return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_probs, axis=1)
+
+
+def centernet_s8_decode(
+    output: jnp.ndarray,
+    *,
+    box_scales: Sequence[float],
+    stride: int = 8,
+):
+    """Scale-slot decode (`tf_centernet_resnet_s8.py:210-241`): output
+    [B,h,w,S,4+nc], reg already sigmoid-activated by the model."""
+    b, h, w, s, _ = output.shape
+    all_boxes, all_probs = [], []
+    for slot in range(s):
+        reg = output[:, :, :, slot, :4]
+        cls = output[:, :, :, slot, 4:]
+        boxes = offset_scale_to_corners(
+            reg, float(box_scales[slot]), float(stride)
+        )
+        all_boxes.append(boxes.reshape(b, -1, 4))
+        all_probs.append(_sigmoid(cls).reshape(b, -1, cls.shape[-1]))
+    return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_probs, axis=1)
+
+
+def hourglass_decode(
+    output: jnp.ndarray,
+    *,
+    box_scales: Sequence[float],
+    stride: int = 8,
+):
+    """Hourglass decode (`tf_hourglass_net.py:451-615` semantics): output
+    [B,h,w,4,5+nc] with sigmoid reg, ch4 objectness logit; score =
+    σ(obj)·σ(cls)."""
+    b, h, w, s, _ = output.shape
+    all_boxes, all_probs = [], []
+    for slot in range(s):
+        reg = output[:, :, :, slot, :4]
+        obj = output[:, :, :, slot, 4]
+        cls = output[:, :, :, slot, 5:]
+        boxes = offset_scale_to_corners(
+            reg, float(box_scales[slot]), float(stride)
+        )
+        probs = _sigmoid(cls) * _sigmoid(obj)[..., None]
+        all_boxes.append(boxes.reshape(b, -1, 4))
+        all_probs.append(probs.reshape(b, -1, probs.shape[-1]))
+    return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_probs, axis=1)
+
+
+def retinanet_decode(
+    outputs: Sequence[jnp.ndarray],
+    *,
+    anchors_per_level: Sequence[jnp.ndarray],
+    strides: Sequence[int] = FCOS_STRIDES,
+):
+    """Anchor-relative decode (`retinanet_module.py:428-451`)."""
+    all_boxes, all_probs = [], []
+    for out, stride, anchors_hw in zip(outputs, strides, anchors_per_level):
+        b, h, w, a, _ = out.shape
+        reg = out[..., :4]
+        cls = out[..., 4:]
+        ab = anchor_lib.anchor_boxes_level(h, w, stride, anchors_hw)
+        boxes = anchor_lib.decode_anchor_regression(reg, ab[None])
+        all_boxes.append(boxes.reshape(b, -1, 4))
+        all_probs.append(_sigmoid(cls).reshape(b, -1, cls.shape[-1]))
+    return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_probs, axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "top_k", "iou_thresh", "score_thresh", "max_outputs",
+        "class_aware", "mode", "soft_sigma",
+    ),
+)
+def detections_from_dense(
+    boxes: jnp.ndarray,
+    probs: jnp.ndarray,
+    *,
+    top_k: int = 1024,
+    iou_thresh: float = 0.5,
+    score_thresh: float = 0.05,
+    max_outputs: int = 100,
+    class_aware: bool = True,
+    mode: str = "hard",
+    soft_sigma: float = 0.3,
+):
+    """Batched candidate selection + NMS over dense (boxes, probs)."""
+
+    def single(bx, pr):
+        cb, cs, cc = nms_lib.select_top_k(bx, pr, top_k)
+        return nms_lib.nms(
+            cb, cs, cc,
+            iou_thresh=iou_thresh, score_thresh=score_thresh,
+            max_outputs=max_outputs, class_aware=class_aware,
+            mode=mode, soft_sigma=soft_sigma,
+        )
+
+    return jax.vmap(single)(boxes, probs)
+
+
+def class_heatmap(probs: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
+    """Max class probability per cell for the heatmap jpg dumps
+    (`infer_fcos.py:64-116`). probs: [M, nc] flattened from a single level
+    of shape hw. Returns [h, w]."""
+    return jnp.max(probs, axis=-1).reshape(hw)

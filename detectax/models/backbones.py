@@ -164,7 +164,26 @@ class MobileNetV2(nn.Module):
         return taps
 
 
+class TinyBackbone(nn.Module):
+    """Minimal 3-tap trunk for tests/benchmark harnesses — not a reference
+    model; exists so machinery tests (train step, sharding, checkpoints)
+    compile in seconds instead of minutes on the CPU test mesh."""
+
+    width: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBN(self.width, kernel=3, stride=2, dtype=self.dtype)(x, train)
+        h = ConvBN(self.width, kernel=3, stride=2, dtype=self.dtype)(h, train)
+        c3 = ConvBN(self.width * 2, kernel=3, stride=2, dtype=self.dtype)(h, train)
+        c4 = ConvBN(self.width * 4, kernel=3, stride=2, dtype=self.dtype)(c3, train)
+        c5 = ConvBN(self.width * 8, kernel=3, stride=2, dtype=self.dtype)(c4, train)
+        return {"c3": c3, "c4": c4, "c5": c5}
+
+
 BACKBONES = {
+    "tiny": lambda dtype: TinyBackbone(dtype=dtype),
     "resnet50": lambda dtype: ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype),
     "resnet101": lambda dtype: ResNet(stage_sizes=(3, 4, 23, 3), dtype=dtype),
     "resnet152": lambda dtype: ResNet(stage_sizes=(3, 8, 36, 3), dtype=dtype),

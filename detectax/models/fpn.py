@@ -16,7 +16,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from detectax.models.layers import upsample2x
+from detectax.models.layers import upsample_to
 
 Dtype = Any
 
@@ -36,10 +36,10 @@ class FPN(nn.Module):
         p4_1x1 = conv(1, 1, "c4_1x1")(c4)
         p5_1x1 = conv(1, 1, "c5_1x1")(c5)
 
-        p4_res = p4_1x1 + upsample2x(p5_1x1)
+        p4_res = p4_1x1 + upsample_to(p5_1x1, p4_1x1.shape[1:3])
         # Reference quirk kept: P3 adds up(P4_1x1), not up(P4_residual)
         # (FCOS/fcos.py:59-60).
-        p3_res = p3_1x1 + upsample2x(p4_1x1)
+        p3_res = p3_1x1 + upsample_to(p4_1x1, p3_1x1.shape[1:3])
 
         p3 = conv(3, 1, "c3_3x3")(p3_res)
         p4 = conv(3, 1, "c4_3x3")(p4_res)
@@ -70,8 +70,8 @@ class S8CollapseFPN(nn.Module):
         p6_relu = nn.relu(p6)
         p7 = conv(3, 2, "c7_3x3")(p6_relu)
 
-        p6_res = p6_relu + upsample2x(p7)
-        p5_res = p5_1x1 + upsample2x(p6_res)
-        p4_res = p4_1x1 + upsample2x(p5_res)
-        p3_res = p3_1x1 + upsample2x(p4_res)
+        p6_res = p6_relu + upsample_to(p7, p6_relu.shape[1:3])
+        p5_res = p5_1x1 + upsample_to(p6_res, p5_1x1.shape[1:3])
+        p4_res = p4_1x1 + upsample_to(p5_res, p4_1x1.shape[1:3])
+        p3_res = p3_1x1 + upsample_to(p4_res, p3_1x1.shape[1:3])
         return conv(3, 1, "cnn_feature_map")(p3_res)

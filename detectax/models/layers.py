@@ -37,6 +37,17 @@ def upsample2x(x: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
 
 
+def upsample_to(x: jnp.ndarray, hw: tuple, method: str = "nearest") -> jnp.ndarray:
+    """Upsample to an exact spatial shape (robust when stride-2 levels
+    bottom out at 1x1 and a plain 2x repeat would mismatch the lateral)."""
+    b, h, w, c = x.shape
+    if (h, w) == tuple(hw):
+        return x
+    if method == "nearest" and hw[0] == 2 * h and hw[1] == 2 * w:
+        return upsample2x(x, "nearest")
+    return jax.image.resize(x, (b, hw[0], hw[1], c), method=method)
+
+
 def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, H/b, W/b, C*b*b].
 

@@ -1,0 +1,203 @@
+"""Generic training driver shared by every CLI trainer.
+
+Replaces the reference's seven copy-pasted script bodies
+(`FCOS/train_fcos.py:87-324` et al.) with one loop: host loader →
+(optionally mesh-sharded) jitted train step → console/CSV metrics →
+Orbax checkpoint cadence → periodic visual eval dumps. Resume restores
+both the checkpoint and the metrics history
+(reference `train_fcos.py:296-310` semantics).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectax.parallel import mesh as mesh_lib
+from detectax.train.checkpoint import CheckpointManager
+from detectax.train.loop import create_train_state, make_eval_forward, make_train_step
+from detectax.train.metrics import MetricsLogger, ThroughputMeter, format_console
+from detectax.train.schedules import make_optimizer, make_schedule
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data
+    index: str | None = None          # dataset index json (None -> synthetic)
+    batch_size: int = 16
+    canvas: int = 384
+    max_boxes: int = 64
+    jitter: tuple[float, float] | None = None
+    pad_position: str = "topleft"
+    normalize: str = "tf"
+    resize_mode: str = "resize_pad"
+    # optimization
+    max_steps: int = 1000
+    optimizer: str = "sgd"
+    schedule: str = "exponential"
+    schedule_kwargs: dict = dataclasses.field(
+        default_factory=lambda: {"init_lr": 5e-4}
+    )
+    grad_clip: float = 1.0
+    weight_decay: float = 0.0
+    microbatch: int | None = None
+    # observability
+    ckpt_dir: str = "ckpt"
+    display_step: int = 50
+    step_save: int = 500
+    max_to_keep: int = 1
+    resume: bool = False
+    dump_visuals: bool = False
+    out_dir: str = "outputs"
+    seed: int = 0
+
+
+def build_loader(cfg: TrainConfig, dataset):
+    from detectax.data.pipeline import Loader
+
+    return Loader(
+        dataset,
+        batch_size=cfg.batch_size,
+        canvas=cfg.canvas,
+        max_boxes=cfg.max_boxes,
+        mode=cfg.resize_mode,
+        pad_position=cfg.pad_position,
+        jitter=cfg.jitter,
+        normalize=cfg.normalize,
+        seed=cfg.seed,
+        num_hosts=jax.process_count(),
+        host_id=jax.process_index(),
+        steps=cfg.max_steps,
+    )
+
+
+def fit(
+    cfg: TrainConfig,
+    model,
+    dataset,
+    assign_fn: Callable,
+    loss_fn: Callable,
+    *,
+    eval_hook: Callable | None = None,
+) -> dict:
+    """Run training; returns final metrics summary."""
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    schedule = make_schedule(cfg.schedule, **cfg.schedule_kwargs)
+    optimizer = make_optimizer(
+        cfg.optimizer, schedule,
+        grad_clip=cfg.grad_clip, weight_decay=cfg.weight_decay,
+    )
+
+    devices = jax.devices()
+    use_mesh = len(devices) > 1
+    sample = jnp.zeros((cfg.batch_size, cfg.canvas, cfg.canvas, 3))
+    state = create_train_state(
+        model, jax.random.PRNGKey(cfg.seed), sample, optimizer
+    )
+
+    if use_mesh:
+        mesh = mesh_lib.make_mesh()
+        state, shardings = mesh_lib.shard_train_state(state, mesh)
+        raw_step = make_train_step(
+            model, assign_fn, loss_fn, optimizer,
+            microbatch=cfg.microbatch, jit=False,
+        )
+        step_fn = mesh_lib.make_sharded_train_step(
+            raw_step, mesh, state_shardings=shardings
+        )
+    else:
+        mesh = None
+        step_fn = make_train_step(
+            model, assign_fn, loss_fn, optimizer, microbatch=cfg.microbatch
+        )
+
+    ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=cfg.max_to_keep)
+    logger = MetricsLogger(
+        csv_path=os.path.join(cfg.out_dir, "losses.csv"),
+        jsonl_path=os.path.join(cfg.out_dir, "metrics.jsonl"),
+    )
+    start_step = 0
+    if cfg.resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state, start_step = restored
+            print(f"resumed from checkpoint at step {start_step}")
+        else:
+            print("no checkpoint found; starting fresh")
+
+    loader = build_loader(cfg, dataset)
+    meter = ThroughputMeter()
+    meter.start()
+    eval_fwd = make_eval_forward(model) if eval_hook else None
+
+    step = start_step
+    last_metrics: dict = {}
+    t_start = time.time()
+    for batch in loader:
+        if step >= cfg.max_steps:
+            break
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            device_batch = mesh_lib.shard_batch(device_batch, mesh)
+        state, metrics = step_fn(state, device_batch)
+        meter.update(cfg.batch_size)
+        step += 1
+
+        if step % cfg.display_step == 0 or step == cfg.max_steps:
+            metrics_host = {
+                k: float(v) for k, v in metrics.items()
+            }
+            rate = meter.reset()
+            metrics_host["images_per_sec"] = rate
+            lr = float(schedule(step))
+            print(format_console(step, lr, metrics_host))
+            logger.log(step, metrics_host)
+            last_metrics = metrics_host
+            if eval_hook and eval_fwd:
+                eval_hook(
+                    step=step, state=state, forward=eval_fwd,
+                    batch=batch, out_dir=cfg.out_dir,
+                )
+
+        if step % cfg.step_save == 0 or step == cfg.max_steps:
+            ckpt.save(step, jax.device_get(state))
+            logger.flush_csv()
+
+    ckpt.wait()
+    logger.flush_csv()
+    elapsed = time.time() - t_start
+    summary = {
+        "final_step": step,
+        "elapsed_sec": elapsed,
+        "images_per_sec": (step - start_step) * cfg.batch_size / max(elapsed, 1e-9),
+        **last_metrics,
+    }
+    print(
+        f"done: {summary['final_step']} steps in {elapsed / 60:.1f} min "
+        f"({summary['images_per_sec']:.1f} img/s)"
+    )
+    return summary
+
+
+def restore_for_inference(cfg_ckpt_dir: str, model, canvas: int, optimizer=None):
+    """Build a state template and restore the latest checkpoint for infer."""
+    import optax
+
+    opt = optimizer or make_optimizer(
+        "sgd", make_schedule("constant", init_lr=1e-3)
+    )
+    template = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, canvas, canvas, 3)), opt
+    )
+    ckpt = CheckpointManager(cfg_ckpt_dir)
+    restored = ckpt.restore_latest(template)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {cfg_ckpt_dir}")
+    state, step = restored
+    print(f"restored checkpoint at step {step}")
+    return state

@@ -1,0 +1,177 @@
+"""Jitted training step with on-device target assignment.
+
+Replaces the reference's per-image eager GradientTape loops
+(`FCOS/train_fcos.py:128-185`) with a single compiled step:
+
+  batch (images + padded GT) -> vmapped assignment (VPU) -> forward (MXU)
+  -> loss -> grad -> clip -> optimizer update
+
+all inside one `jax.jit` with donated state (no host round-trips, no
+gradient staging buffers — the reference pinned accumulators to CPU RAM,
+`train_retinanet_coco.py:177-179`, which is unnecessary on TPU).
+
+Gradient accumulation parity: the reference accumulates per-image or
+per-sub-batch gradients purely to emulate a large batch
+(`tf_centernet_resnet_s8.py:387-444`). XLA just runs the real batch; an
+optional `microbatch` argument keeps the memory-bounded semantics via
+`lax.scan` over sub-batches inside the same jitted step.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    model, rng, sample_batch_images, optimizer
+) -> TrainState:
+    variables = model.init(rng, sample_batch_images, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    assign_fn: Callable,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    microbatch: int | None = None,
+    donate: bool = True,
+    jit: bool = True,
+):
+    """Build the jitted train step.
+
+    Args:
+      assign_fn: per-example ``(boxes[N,4], labels[N], valid[N]) -> y_true``
+        (any pytree of target maps); vmapped over the batch inside the step.
+      loss_fn: ``(y_true, y_pred) -> dict`` with a "total" entry
+        (per-example-sum; divided by batch size here).
+      microbatch: if set, split the batch into chunks of this size and
+        accumulate gradients via `lax.scan` (reference sub_batch_sz
+        semantics).
+
+    Returns ``step(state, batch) -> (state, metrics)`` where batch is a
+    dict of ``images [B,H,W,3]``, ``boxes [B,N,4]``, ``labels [B,N]``,
+    ``valid [B,N]``.
+    """
+    batched_assign = jax.vmap(assign_fn)
+
+    def forward_loss(params, batch_stats, images, y_true, batch_size):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        losses = loss_fn(y_true, preds)
+        # divide_no_nan(sum, batch) parity (train_fcos.py:179-180)
+        losses = jax.tree_util.tree_map(lambda v: v / batch_size, losses)
+        return losses["total"], (losses, mutated["batch_stats"])
+
+    grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+
+    def step(state: TrainState, batch):
+        images = batch["images"]
+        bsz = images.shape[0]
+        y_true = batched_assign(
+            batch["boxes"], batch["labels"], batch["valid"]
+        )
+
+        if microbatch is None or microbatch >= bsz:
+            (_, (losses, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, images, y_true, float(bsz)
+            )
+        else:
+            assert bsz % microbatch == 0, "batch must divide by microbatch"
+            n_chunks = bsz // microbatch
+
+            def reshape_chunks(t):
+                return t.reshape(n_chunks, microbatch, *t.shape[1:])
+
+            images_c = reshape_chunks(images)
+            y_true_c = jax.tree_util.tree_map(reshape_chunks, y_true)
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            def scan_body(carry, chunk):
+                acc_grads, acc_losses, bs = carry
+                imgs, yt = chunk
+                (_, (losses, new_bs)), grads = grad_fn(
+                    state.params, bs, imgs, yt, float(bsz)
+                )
+                acc_grads = jax.tree_util.tree_map(
+                    jnp.add, acc_grads, grads
+                )
+                acc_losses = jax.tree_util.tree_map(
+                    jnp.add, acc_losses, losses
+                )
+                return (acc_grads, acc_losses, new_bs), None
+
+            loss_struct = jax.eval_shape(
+                forward_loss,
+                state.params,
+                state.batch_stats,
+                images_c[0],
+                jax.tree_util.tree_map(lambda t: t[0], y_true_c),
+                1.0,
+            )[1][0]
+            zero_losses = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), loss_struct
+            )
+            (grads, losses, new_bs), _ = jax.lax.scan(
+                scan_body,
+                (zero_grads, zero_losses, state.batch_stats),
+                (images_c, y_true_c),
+            )
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if not jit:
+        # caller will jit with explicit mesh shardings
+        # (detectax.parallel.mesh.make_sharded_train_step)
+        return step
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_forward(model):
+    """Jitted inference forward (train=False, running BN stats)."""
+
+    @jax.jit
+    def forward(params, batch_stats, images):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=False,
+        )
+
+    return forward

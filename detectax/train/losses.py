@@ -1,0 +1,121 @@
+"""Per-detector loss compositions over the shared ops.losses library.
+
+Each mirrors a reference `model_loss` / `train_loss`:
+
+* `fcos_loss` — `FCOS/fcos.py:464-496` (cen L1-on-sigmoid or focal
+  per `FCOS/fcos_center.py:382-389`), reg smooth-L1 or -log-IoU.
+* `centernet_s8_loss` — `CenterNet/tf_centernet_resnet_s8.py:368-385`:
+  per-slot focal + objectness-masked smooth-L1.
+* `hourglass_loss` — `CenterNet/tf_hourglass_net.py:372-388`: sigmoid-BCE
+  or focal on [objectness + classes], plain L1 on reg masked by the
+  objectness channel.
+* `retinanet_loss` — `RetinaNet/retinanet_module.py:403-426`: focal +
+  masked smooth-L1 over every (level, anchor) map.
+
+All return per-example-sum scalars; the train step divides by batch size
+(the reference's `divide_no_nan(acc, batch)` normalization,
+`FCOS/train_fcos.py:179-180`).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from detectax.ops.losses import (
+    focal_loss,
+    iou_loss,
+    sigmoid_bce_loss,
+    smooth_l1_loss,
+)
+
+
+def fcos_loss(
+    y_true: Sequence[jnp.ndarray],
+    y_pred: Sequence[jnp.ndarray],
+    *,
+    reg_type: str = "l1",
+    cen_type: str = "l1",
+    cls_lambda: float = 2.5,
+    reg_lambda: float = 1.0,
+):
+    """Multi-level FCOS loss. Layout per level: [reg(4), cen(1), cls(nc)]."""
+    cls_loss = 0.0
+    reg_loss = 0.0
+    cen_loss = 0.0
+    for yt, yp in zip(y_true, y_pred):
+        obj = jnp.max(yt[..., 5:], axis=-1)
+        mask = (obj >= 1.0).astype(jnp.float32)
+        cls_loss += focal_loss(yt[..., 5:], yp[..., 5:])
+        if cen_type == "l1":
+            # reference compares sigmoid(pred) to the target with an
+            # unmasked smooth-L1 (FCOS/fcos.py:483-486)
+            cen_loss += smooth_l1_loss(
+                yt[..., 4], jnp.asarray(1.0) / (1.0 + jnp.exp(-yp[..., 4]))
+            )
+        else:
+            cen_loss += focal_loss(yt[..., 4], yp[..., 4])
+        if reg_type == "iou":
+            reg_loss += iou_loss(yt[..., :4], yp[..., :4], mask)
+        else:
+            reg_loss += smooth_l1_loss(yt[..., :4], yp[..., :4], mask=mask)
+    total = cls_lambda * cls_loss + reg_lambda * (reg_loss + cen_loss)
+    return {
+        "cls": cls_loss, "reg": reg_loss, "cen": cen_loss, "total": total,
+    }
+
+
+def centernet_s8_loss(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    *,
+    cls_lambda: float = 1.0,
+    reg_lambda: float = 1.0,
+):
+    """Scale-slot loss over [B, h, w, S, 4+nc] maps."""
+    obj = jnp.max(y_true[..., 4:], axis=-1)
+    mask = (obj > 0).astype(jnp.float32)
+    cls_loss = focal_loss(y_true[..., 4:], y_pred[..., 4:])
+    reg_loss = smooth_l1_loss(y_true[..., :4], y_pred[..., :4], mask=mask)
+    total = cls_lambda * cls_loss + reg_lambda * reg_loss
+    return {"cls": cls_loss, "reg": reg_loss, "total": total}
+
+
+def hourglass_loss(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    *,
+    loss_type: str = "sigmoid",
+    reg_lambda: float = 0.10,
+):
+    """Hourglass loss over [B, h, w, 4, 5+nc] maps; ch4 = objectness."""
+    mask = y_true[..., 4]
+    if loss_type == "sigmoid":
+        cls_loss = sigmoid_bce_loss(y_true[..., 4:], y_pred[..., 4:])
+    else:
+        cls_loss = focal_loss(y_true[..., 4:], y_pred[..., 4:])
+    # plain (not smooth) L1, reference tf_hourglass_net.py:386-387
+    reg_loss = jnp.sum(
+        jnp.abs(y_true[..., :4] - y_pred[..., :4]) * mask[..., None]
+    )
+    total = cls_loss + reg_lambda * reg_loss
+    return {"cls": cls_loss, "reg": reg_loss, "total": total}
+
+
+def retinanet_loss(
+    y_true: Sequence[jnp.ndarray],
+    y_pred: Sequence[jnp.ndarray],
+    *,
+    cls_lambda: float = 1.0,
+    reg_lambda: float = 1.0,
+):
+    """Anchor loss over 5 levels of [B, h, w, A, 4+nc] maps."""
+    cls_loss = 0.0
+    reg_loss = 0.0
+    for yt, yp in zip(y_true, y_pred):
+        obj = jnp.max(yt[..., 4:], axis=-1)
+        mask = (obj > 0).astype(jnp.float32)
+        cls_loss += focal_loss(yt[..., 4:], yp[..., 4:])
+        reg_loss += smooth_l1_loss(yt[..., :4], yp[..., :4], mask=mask)
+    total = cls_lambda * cls_loss + reg_lambda * reg_loss
+    return {"cls": cls_loss, "reg": reg_loss, "total": total}

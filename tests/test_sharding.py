@@ -1,0 +1,123 @@
+"""Data-parallel sharding tests on the 8-virtual-device CPU mesh."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectax.data import Loader, SyntheticDataset
+from detectax.models import FCOS
+from detectax.ops import assign
+from detectax.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+    shard_train_state,
+)
+from detectax.train import losses as det_losses
+from detectax.train.loop import create_train_state, make_train_step
+from detectax.train.schedules import exponential_with_floor, make_optimizer
+
+IMG = 64
+NC = 3
+
+
+def _assign_fn(boxes, labels, valid):
+    outs, _ = assign.fcos_assign(
+        boxes, labels, valid, img_dim=(IMG, IMG), num_classes=NC
+    )
+    return outs
+
+
+def _setup(fsdp=False):
+    mesh = make_mesh()
+    model = FCOS(num_classes=NC, backbone="tiny")
+    opt = make_optimizer("sgd", exponential_with_floor(1e-2))
+    step = make_train_step(
+        model, _assign_fn, det_losses.fcos_loss, opt, donate=False, jit=False
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((8, IMG, IMG, 3)), opt
+    )
+    state, shardings = shard_train_state(state, mesh, fsdp=fsdp)
+    sharded_step = make_sharded_train_step(
+        step, mesh, state_shardings=shardings, fsdp=fsdp
+    )
+    return mesh, sharded_step, state
+
+
+def _batch(n=8):
+    ds = SyntheticDataset(n=16, img_size=IMG)
+    loader = Loader(ds, batch_size=n, canvas=IMG, max_boxes=8, steps=1,
+                    prefetch=0)
+    return next(iter(loader))
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_batch_shards_across_devices():
+    mesh = make_mesh()
+    batch = shard_batch({k: jnp.asarray(v) for k, v in _batch().items()}, mesh)
+    shard_shapes = [
+        s.data.shape for s in batch["images"].addressable_shards
+    ]
+    assert len(shard_shapes) == 8
+    assert all(s[0] == 1 for s in shard_shapes)
+
+
+def test_sharded_train_step_runs_and_replicates_state():
+    mesh, step_fn, state = _setup()
+    batch = shard_batch({k: jnp.asarray(v) for k, v in _batch().items()}, mesh)
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(new_state.step) == 1
+    # params replicated: every shard identical
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_sharded_matches_single_device_step():
+    """Gradient all-reduce over the mesh == single-device full batch."""
+    mesh, sharded_step, state_m = _setup()
+    model = FCOS(num_classes=NC, backbone="tiny")
+    opt = make_optimizer("sgd", exponential_with_floor(1e-2))
+    single_step = make_train_step(
+        model, _assign_fn, det_losses.fcos_loss, opt, donate=False
+    )
+    state_s = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((8, IMG, IMG, 3)), opt
+    )
+    raw = {k: jnp.asarray(v) for k, v in _batch().items()}
+    batch_m = shard_batch(raw, mesh)
+
+    new_m, met_m = sharded_step(state_m, batch_m)
+    new_s, met_s = single_step(state_s, raw)
+    np.testing.assert_allclose(
+        float(met_m["total"]), float(met_s["total"]), rtol=1e-4
+    )
+    la = jax.tree_util.tree_leaves(new_m.params)
+    lb = jax.tree_util.tree_leaves(new_s.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+
+
+def test_fsdp_param_sharding_runs():
+    mesh, step_fn, state = _setup(fsdp=True)
+    # at least one large parameter actually sharded
+    sharded_leaves = [
+        l for l in jax.tree_util.tree_leaves(state.params)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+    ]
+    assert sharded_leaves, "expected some FSDP-sharded parameters"
+    batch = shard_batch({k: jnp.asarray(v) for k, v in _batch().items()}, mesh)
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["total"]))

@@ -1,0 +1,135 @@
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detectax.data import Loader, SyntheticDataset
+from detectax.models import FCOS, CenterNetS8
+from detectax.ops import assign
+from detectax.train import losses as det_losses
+from detectax.train.loop import create_train_state, make_eval_forward, make_train_step
+from detectax.train.schedules import (
+    epoch_decay,
+    exponential_with_floor,
+    make_optimizer,
+    piecewise_constant,
+)
+
+IMG = 128
+NC = 3
+
+
+def _fcos_assign(boxes, labels, valid):
+    outs, _ = assign.fcos_assign(
+        boxes, labels, valid, img_dim=(IMG, IMG), num_classes=NC
+    )
+    return outs
+
+
+def _make_everything(microbatch=None, jit=True):
+    model = FCOS(num_classes=NC, backbone="mobilenetv2")
+    opt = make_optimizer("sgd", exponential_with_floor(1e-2), grad_clip=1.0)
+    loss_fn = functools.partial(det_losses.fcos_loss, reg_type="l1")
+    step_fn = make_train_step(
+        model, _fcos_assign, loss_fn, opt, microbatch=microbatch,
+        donate=False, jit=jit,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, IMG, IMG, 3)), opt
+    )
+    return model, opt, step_fn, state
+
+
+def _batch(n=2, seed=0):
+    ds = SyntheticDataset(n=8, img_size=IMG, seed=seed)
+    loader = Loader(ds, batch_size=n, canvas=IMG, max_boxes=8, steps=1,
+                    seed=seed, prefetch=0)
+    return {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+
+
+def test_schedules_shapes():
+    s = exponential_with_floor(5e-4, 0.75, 1000, 1e-5)
+    assert float(s(0)) == pytest.approx(5e-4)
+    assert float(s(100000)) == pytest.approx(1e-5)
+    p = piecewise_constant(0.01, [10, 20], [0.1, 0.1])
+    assert float(p(5)) == pytest.approx(0.01)
+    assert float(p(15)) == pytest.approx(0.001)
+    assert float(p(25)) == pytest.approx(0.0001)
+    e = epoch_decay(0.01, 0.5, steps_per_epoch=10)
+    assert float(e(25)) == pytest.approx(0.01 * 0.25)
+
+
+def test_train_step_runs_and_loss_decreases():
+    _, _, step_fn, state = _make_everything()
+    batch = _batch()
+    first = None
+    last = None
+    for i in range(8):
+        state, metrics = step_fn(state, batch)
+        val = float(metrics["total"])
+        assert np.isfinite(val)
+        if first is None:
+            first = val
+        last = val
+    assert int(state.step) == 8
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_microbatch_matches_full_batch_grads():
+    """Gradient accumulation via lax.scan ~ full batch.
+
+    Not bit-exact: BatchNorm computes statistics per sub-batch under
+    microbatching — the same semantics as the reference's sub-batch
+    train_step (tf_centernet_resnet_s8.py:387-444) — so compare with a
+    tolerance that BN's batch-vs-subbatch statistics explain.
+    """
+    _, _, step_full, state_a = _make_everything(jit=True)
+    _, _, step_micro, _ = _make_everything(microbatch=1, jit=True)
+    batch = _batch(n=2)
+    state_b = jax.tree_util.tree_map(lambda t: t, state_a)
+    sa, ma = step_full(state_a, batch)
+    sb, mb = step_micro(state_b, batch)
+    np.testing.assert_allclose(
+        float(ma["total"]), float(mb["total"]), rtol=5e-2
+    )
+    la = jax.tree_util.tree_leaves(sa.params)
+    lb = jax.tree_util.tree_leaves(sb.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    # both performed exactly one optimizer step
+    assert int(sa.step) == int(sb.step) == 1
+
+
+def test_eval_forward_uses_running_stats():
+    model, _, step_fn, state = _make_everything()
+    batch = _batch()
+    state, _ = step_fn(state, batch)
+    fwd = make_eval_forward(model)
+    outs = fwd(state.params, state.batch_stats, batch["images"])
+    assert len(outs) == 5
+    assert np.all(np.isfinite(np.asarray(outs[0])))
+
+
+def test_centernet_s8_train_step():
+    model = CenterNetS8(num_classes=NC, n_scales=5, backbone="mobilenetv2")
+    opt = make_optimizer("adam", exponential_with_floor(1e-3))
+
+    def assign_fn(boxes, labels, valid):
+        out, _ = assign.centernet_scale_slot_assign(
+            boxes, labels, valid, img_dim=(IMG, IMG), num_classes=NC,
+            box_scales=(16.0, 32.0, 64.0, 96.0, 128.0),
+        )
+        return out
+
+    step_fn = make_train_step(
+        model, assign_fn, det_losses.centernet_s8_loss, opt, donate=False
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(1), jnp.zeros((2, IMG, IMG, 3)), opt
+    )
+    batch = _batch()
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(state.step) == 1
