@@ -37,7 +37,10 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(
     model, rng, sample_batch_images, optimizer
 ) -> TrainState:
-    variables = model.init(rng, sample_batch_images, train=True)
+    # jit the init: unjitted flax init dispatches op-by-op, which is
+    # pathologically slow through a remote-dispatch TPU backend
+    init_fn = jax.jit(lambda r, x: model.init(r, x, train=True))
+    variables = init_fn(rng, sample_batch_images)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
