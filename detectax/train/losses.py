@@ -22,12 +22,21 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
+import os
+
 from detectax.ops.losses import (
-    focal_loss,
+    focal_loss as _focal_xla,
     iou_loss,
     sigmoid_bce_loss,
     smooth_l1_loss,
 )
+
+if os.environ.get("DETECTAX_PALLAS_FOCAL", "0") == "1":
+    # Pallas fused focal kernel (A/B-tested vs XLA; same numerics). XLA's
+    # fusion already matches it at these sizes, so it's opt-in.
+    from detectax.ops.pallas.focal import focal_loss_pallas as focal_loss
+else:
+    focal_loss = _focal_xla
 
 
 def fcos_loss(
