@@ -1,0 +1,139 @@
+"""Evaluate a trained detector: mAP@0.5 (+ COCO-style) over a dataset.
+
+New capability beyond the reference (whose only eval was visual overlays):
+restores a checkpoint, runs the jitted forward + decode + NMS over the
+eval set, and reports VOC/COCO mAP via `detectax.eval`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from detectax.cli._common import dataset_from_args
+from detectax.eval.detection_metrics import MeanAPEvaluator, coco_evaluator
+from detectax.infer import predict as P
+from detectax.models import FCOS, CenterNetS8, RetinaNet
+from detectax.ops import anchors as anchor_lib
+from detectax.train.driver import restore_for_inference
+
+FAMILIES = ("fcos", "fcos_center", "fcos_center_v1", "centernet_s8", "retinanet")
+
+
+def build_family(family, nc, backbone, canvas, args):
+    if family in ("fcos", "fcos_center", "fcos_center_v1"):
+        variant = {"fcos": "fcos", "fcos_center": "center",
+                   "fcos_center_v1": "center_v1"}[family]
+        model = FCOS(num_classes=nc, variant=variant, backbone=backbone)
+        if family == "fcos_center_v1":
+            scales = [32.0, 64.0, 128.0, 256.0, float(canvas)]
+            decode = lambda outs: P.fcos_center_v1_decode(
+                outs, box_scales=scales
+            )
+        else:
+            decode = lambda outs: P.fcos_decode(
+                outs, use_centerness=(family != "fcos") or args.center
+            )
+        return model, decode
+    if family == "centernet_s8":
+        scales = tuple(args.box_scales)
+        model = CenterNetS8(num_classes=nc, n_scales=len(scales),
+                            backbone=backbone)
+        return model, lambda out: P.centernet_s8_decode(out, box_scales=scales)
+    if family == "retinanet":
+        anchors = anchor_lib.anchor_shapes_per_level(
+            anchor_sizes=args.anchor_sizes
+        )
+        model = RetinaNet(num_classes=nc, n_anchors=anchors[0].shape[0],
+                          backbone=backbone)
+        return model, lambda outs: P.retinanet_decode(
+            outs, anchors_per_level=anchors
+        )
+    raise ValueError(f"unknown family {family}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--family", choices=FAMILIES, default="fcos")
+    p.add_argument("--index", default=None)
+    p.add_argument("--synthetic_n", type=int, default=64)
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--ckpt_dir", default="ckpt")
+    p.add_argument("--canvas", type=int, default=384)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_boxes", type=int, default=64)
+    p.add_argument("--cls_thresh", type=float, default=0.05)
+    p.add_argument("--iou_thresh", type=float, default=0.5)
+    p.add_argument("--center", action="store_true")
+    p.add_argument("--coco_metrics", action="store_true",
+                   help="also report AP@[.5:.95]")
+    p.add_argument("--box_scales", type=float, nargs="+",
+                   default=[32.0, 64.0, 128.0, 256.0, 512.0])
+    p.add_argument("--anchor_sizes", type=float, nargs="+",
+                   default=[32.0, 64.0, 128.0, 256.0, 512.0])
+    p.add_argument("--max_outputs", type=int, default=100)
+    p.add_argument("--out_json", default=None)
+    args = p.parse_args(argv)
+
+    dataset = dataset_from_args(args)
+    nc = dataset.num_classes
+    model, decode = build_family(args.family, nc, args.backbone,
+                                 args.canvas, args)
+    state = restore_for_inference(args.ckpt_dir, model, args.canvas)
+
+    from detectax.data.pipeline import Loader
+
+    loader = Loader(
+        dataset, batch_size=args.batch_size, canvas=args.canvas,
+        max_boxes=args.max_boxes, flip=False, shuffle=False,
+        mode="stretch", prefetch=1,
+    )
+    evaluator = (
+        coco_evaluator(nc) if args.coco_metrics
+        else MeanAPEvaluator(nc)
+    )
+    canvas = args.canvas
+    for batch in loader:
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(batch["images"]), train=False,
+        )
+        boxes, probs = decode(outs)
+        dets = P.detections_from_dense(
+            boxes, probs, iou_thresh=args.iou_thresh,
+            score_thresh=args.cls_thresh, max_outputs=args.max_outputs,
+        )
+        det_boxes = np.asarray(dets["boxes"])
+        det_scores = np.asarray(dets["scores"])
+        det_classes = np.asarray(dets["classes"])
+        n_valid = np.asarray(dets["num_valid"])
+        for i in range(len(batch["images"])):
+            n = int(n_valid[i])
+            gt_v = batch["valid"][i]
+            gt_yxhw = batch["boxes"][i][gt_v] * canvas
+            gt_corners = np.stack(
+                [
+                    gt_yxhw[:, 0] - gt_yxhw[:, 2] / 2,
+                    gt_yxhw[:, 1] - gt_yxhw[:, 3] / 2,
+                    gt_yxhw[:, 0] + gt_yxhw[:, 2] / 2,
+                    gt_yxhw[:, 1] + gt_yxhw[:, 3] / 2,
+                ],
+                axis=-1,
+            ) if gt_v.any() else np.zeros((0, 4), np.float32)
+            evaluator.add_image(
+                det_boxes[i][:n], det_scores[i][:n], det_classes[i][:n],
+                gt_corners, batch["labels"][i][gt_v],
+            )
+
+    summary = evaluator.summarize()
+    print(json.dumps(summary, indent=2))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(summary, f)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

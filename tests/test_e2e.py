@@ -88,3 +88,22 @@ def test_train_hourglass_cli_smoke(tmp_path):
         _common_args(tmp_path) + ["--n_filters", "2", "--microbatch", "4"]
     )
     _check_artifacts(tmp_path, summary)
+
+
+def test_evaluate_cli_after_training(tmp_path):
+    from detectax.cli import evaluate
+
+    train_fcos.main(_common_args(tmp_path))
+    summary = evaluate.main([
+        "--family", "fcos",
+        "--backbone", "tiny",
+        "--canvas", "64",
+        "--batch_size", "8",
+        "--synthetic_n", "16",
+        "--max_boxes", "8",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--cls_thresh", "0.05",
+    ])
+    assert "mAP@0.5" in summary
+    assert 0.0 <= summary["mAP@0.5"] <= 1.0
+    assert summary["num_images"] == 16
