@@ -77,6 +77,73 @@ def normalize_pixels(img: np.ndarray, mode: str) -> np.ndarray:
     raise ValueError(f"unknown normalize mode {mode!r}")
 
 
+def content_target_size(
+    h: int,
+    w: int,
+    canvas: tuple[int, int],
+    *,
+    mode: str = "resize_pad",
+    jitter: tuple[float, float] | None = None,
+    rng: np.random.Generator | None = None,
+) -> tuple[int, int]:
+    """Resized content (h, w) for an image of (h, w) on the given canvas —
+    the geometry half of `place_on_canvas`, shared with the native decode
+    path (which decodes straight to the target size)."""
+    ch, cw = canvas
+    if mode == "stretch":
+        return ch, cw
+    min_side = float(min(ch, cw))
+    if jitter is not None and rng is not None:
+        min_side = float(rng.uniform(jitter[0], jitter[1]))
+    ratio = min_side / min(h, w)
+    if ratio * max(h, w) > max(ch, cw):
+        ratio = max(ch, cw) / max(h, w)
+    return (
+        min(int(round(h * ratio)), ch),
+        min(int(round(w * ratio)), cw),
+    )
+
+
+def place_content_on_canvas(
+    content: np.ndarray,
+    boxes_xyxy: np.ndarray,
+    canvas: tuple[int, int],
+    pad_position: str = "topleft",
+):
+    """Place an already-resized content image on the canvas and convert
+    normalized corner boxes to canvas-normalized (y, x, h, w)."""
+    ch, cw = canvas
+    new_h, new_w = content.shape[:2]
+    if (new_h, new_w) == (ch, cw):
+        out = content.astype(np.float32)
+        off_y = off_x = 0
+    else:
+        out = np.zeros((ch, cw, content.shape[2]), dtype=np.float32)
+        if pad_position == "center":
+            off_y = (ch - new_h) // 2
+            off_x = (cw - new_w) // 2
+        else:
+            off_y = off_x = 0
+        out[off_y:off_y + new_h, off_x:off_x + new_w] = content
+    if len(boxes_xyxy):
+        x1 = boxes_xyxy[:, 0] * new_w + off_x
+        y1 = boxes_xyxy[:, 1] * new_h + off_y
+        x2 = boxes_xyxy[:, 2] * new_w + off_x
+        y2 = boxes_xyxy[:, 3] * new_h + off_y
+        boxes_yxhw = np.stack(
+            [
+                (y1 + y2) / 2.0 / ch,
+                (x1 + x2) / 2.0 / cw,
+                (y2 - y1) / ch,
+                (x2 - x1) / cw,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    else:
+        boxes_yxhw = np.zeros((0, 4), dtype=np.float32)
+    return out, boxes_yxhw, (new_h, new_w)
+
+
 def place_on_canvas(
     img: np.ndarray,
     boxes_xyxy: np.ndarray,
@@ -96,47 +163,17 @@ def place_on_canvas(
 
     Returns (canvas_img, boxes_yxhw canvas-normalized, content_hw).
     """
-    ch, cw = canvas
-    h, w = img.shape[:2]
-    if mode == "stretch":
-        content = _resize(img, (ch, cw))
-        out = content
-        new_h, new_w = ch, cw
-        off_y = off_x = 0
-        scale_boxes = boxes_xyxy  # already normalized, canvas == content
-    else:
-        min_side = float(min(ch, cw))
-        if jitter is not None and rng is not None:
-            min_side = float(rng.uniform(jitter[0], jitter[1]))
-        ratio = min_side / min(h, w)
-        if ratio * max(h, w) > max(ch, cw):
-            ratio = max(ch, cw) / max(h, w)
-        new_h = min(int(round(h * ratio)), ch)
-        new_w = min(int(round(w * ratio)), cw)
-        content = _resize(img, (new_h, new_w))
-        out = np.zeros((ch, cw, img.shape[2]), dtype=np.float32)
-        if pad_position == "center":
-            off_y = (ch - new_h) // 2
-            off_x = (cw - new_w) // 2
-        else:
-            off_y = off_x = 0
-        out[off_y:off_y + new_h, off_x:off_x + new_w] = content
-        scale_boxes = boxes_xyxy
-
-    if len(scale_boxes):
-        # corner (x1,y1,x2,y2) normalized over content -> canvas pixels
-        x1 = scale_boxes[:, 0] * new_w + off_x
-        y1 = scale_boxes[:, 1] * new_h + off_y
-        x2 = scale_boxes[:, 2] * new_w + off_x
-        y2 = scale_boxes[:, 3] * new_h + off_y
-        yc = (y1 + y2) / 2.0 / ch
-        xc = (x1 + x2) / 2.0 / cw
-        bh = (y2 - y1) / ch
-        bw = (x2 - x1) / cw
-        boxes_yxhw = np.stack([yc, xc, bh, bw], axis=-1).astype(np.float32)
-    else:
-        boxes_yxhw = np.zeros((0, 4), dtype=np.float32)
-    return out, boxes_yxhw, (new_h, new_w)
+    new_h, new_w = content_target_size(
+        img.shape[0], img.shape[1], canvas, mode=mode, jitter=jitter, rng=rng
+    )
+    content = (
+        img.astype(np.float32)
+        if (new_h, new_w) == img.shape[:2]
+        else _resize(img, (new_h, new_w))
+    )
+    return place_content_on_canvas(
+        content, boxes_xyxy, canvas, pad_position=pad_position
+    )
 
 
 def pad_gt(boxes_yxhw: np.ndarray, labels: np.ndarray, max_boxes: int):
@@ -177,7 +214,16 @@ class Loader:
         host_id: int = 0,
         prefetch: int = 2,
         steps: int | None = None,
+        native: bool | None = None,
     ):
+        if native is None:
+            # opt-in by default when the C++ loader builds/loads cleanly
+            try:
+                from detectax.data import native_loader as nl
+
+                native = nl.available()
+            except Exception:
+                native = False
         self.ds = dataset
         self.batch_size = batch_size
         self.canvas = (canvas, canvas) if isinstance(canvas, int) else canvas
@@ -193,6 +239,7 @@ class Loader:
         self.host_id = host_id
         self.prefetch = prefetch
         self.steps = steps
+        self.native = native
 
     def _indices(self, rng: np.random.Generator) -> np.ndarray:
         idx = np.arange(len(self.ds))
@@ -200,17 +247,44 @@ class Loader:
             rng.shuffle(idx)
         return idx[self.host_id:: self.num_hosts]
 
+    def _use_native(self, record: dict) -> bool:
+        if not self.native or "image_path" not in record:
+            return False
+        if record.get("image") is not None:
+            return False
+        path = record["image_path"].lower()
+        return path.endswith(".jpg") or path.endswith(".jpeg")
+
     def _make_example(self, record: dict, rng: np.random.Generator):
-        img = decode_image(record)
         boxes = np.asarray(record["boxes_xyxy"], np.float32)
         labels = np.asarray(record["labels"], np.int32)
-        if self.flip and rng.uniform() <= 0.5:
-            img, boxes = flip_horizontal(img, boxes)
-        img, boxes_yxhw, content = place_on_canvas(
-            img, boxes, self.canvas,
-            mode=self.mode, pad_position=self.pad_position,
-            jitter=self.jitter, rng=rng,
-        )
+        do_flip = self.flip and rng.uniform() <= 0.5
+
+        if self._use_native(record):
+            # native fast path: header-only size read, then decode straight
+            # to the target content size (skips the full-resolution decode)
+            from detectax.data import native_loader as nl
+
+            h, w = nl.image_info(record["image_path"])
+            new_hw = content_target_size(
+                h, w, self.canvas, mode=self.mode,
+                jitter=self.jitter, rng=rng,
+            )
+            content = nl.decode_resize(record["image_path"], *new_hw)
+            if do_flip:
+                content, boxes = flip_horizontal(content, boxes)
+            img, boxes_yxhw, _ = place_content_on_canvas(
+                content, boxes, self.canvas, pad_position=self.pad_position
+            )
+        else:
+            img = decode_image(record)
+            if do_flip:
+                img, boxes = flip_horizontal(img, boxes)
+            img, boxes_yxhw, _ = place_on_canvas(
+                img, boxes, self.canvas,
+                mode=self.mode, pad_position=self.pad_position,
+                jitter=self.jitter, rng=rng,
+            )
         img = normalize_pixels(img, self.normalize)
         b, l, v = pad_gt(boxes_yxhw, labels, self.max_boxes)
         return img, b, l, v
