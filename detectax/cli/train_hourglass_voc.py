@@ -30,11 +30,21 @@ def main(argv=None):
     p.add_argument("--reg_lambda", type=float, default=0.10)
     p.add_argument("--lr_decay", type=float, default=0.90)
     p.add_argument("--steps_per_epoch", type=int, default=500)
+    p.add_argument(
+        "--multi_scale", type=int, nargs="+", default=None,
+        help="discrete canvas buckets, e.g. 256 320 384 448 "
+             "(reference train_hourglass_voc_v0.py:73); one bucket is "
+             "chosen per batch and the step recompiles per bucket",
+    )
     args = p.parse_args(argv)
 
-    # canvas must be a 64-multiple for the 6-stage encoder
-    canvas = ((args.canvas + 63) // 64) * 64
+    # canvases must be 64-multiples for the 6-stage encoder
+    rounded = lambda c: ((c + 63) // 64) * 64
+    canvas = rounded(args.canvas)
     args.canvas = canvas
+    buckets = (
+        [rounded(c) for c in args.multi_scale] if args.multi_scale else None
+    )
 
     dataset = dataset_from_args(args)
     nc = dataset.num_classes
@@ -50,14 +60,19 @@ def main(argv=None):
             "steps_per_epoch": args.steps_per_epoch,
         },
         pad_position="center",
+        augment="hourglass",
         jitter=(0.6 * canvas, canvas),
     )
-    img = (canvas, canvas)
-    scales = tuple(canvas / (2.0**x) for x in reversed(range(4)))
+    if buckets:
+        cfg.canvas = buckets
+        cfg.jitter = None  # discrete buckets replace continuous jitter
 
-    def assign_fn(boxes, labels, valid):
+    def assign_fn(boxes, labels, valid, img_hw):
+        # scale bins derive from the (per-bucket) canvas, reference
+        # train_hourglass_voc.py:97-98
+        scales = tuple(img_hw[0] / (2.0**x) for x in reversed(range(4)))
         out, _ = assign.hourglass_assign(
-            boxes, labels, valid, img_dim=img, num_classes=nc,
+            boxes, labels, valid, img_dim=tuple(img_hw), num_classes=nc,
             box_scales=scales,
         )
         return out

@@ -67,6 +67,58 @@ def flip_horizontal(img: np.ndarray, boxes_xyxy: np.ndarray):
     return img, boxes_xyxy
 
 
+def augment_photometric_geometric(
+    img: np.ndarray,
+    boxes_xyxy: np.ndarray,
+    rng: np.random.Generator,
+    p_augment: float = 0.5,
+    brightness: float = 0.25,
+    contrast: tuple[float, float] = (0.75, 1.25),
+):
+    """Joint image+box augmentation.
+
+    Parity with reference `CenterNet/train_hourglass_voc.py:24-67`
+    image_augment: with probability `p_augment`, apply ONE of
+    (a) photometric — random brightness delta or contrast rescale,
+    (b) horizontal flip, (c) 90/270-degree rotation — with the box remap
+    done on normalized corners (the reference rotated its pre-rendered
+    label maps instead; ours are assigned after augmentation).
+    Pixel values are 0..255 floats here; brightness delta is scaled
+    accordingly (the reference's images were 0..1 at this point).
+    """
+    if rng.uniform() >= p_augment:
+        return img, boxes_xyxy
+    choice = rng.uniform()
+    if choice <= 1.0 / 3.0:
+        if rng.uniform() <= 0.5:
+            delta = rng.uniform(-brightness, brightness) * 255.0
+            img = np.clip(img + delta, 0.0, 255.0)
+        else:
+            c = rng.uniform(contrast[0], contrast[1])
+            mean = img.mean(axis=(0, 1), keepdims=True)
+            img = np.clip((img - mean) * c + mean, 0.0, 255.0)
+        return img, boxes_xyxy
+    if choice <= 2.0 / 3.0:
+        return flip_horizontal(img, boxes_xyxy)
+    # transpose = rot90 with x/y swap; optional up-down flip = rot270
+    img = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))
+    if len(boxes_xyxy):
+        boxes_xyxy = boxes_xyxy[:, [1, 0, 3, 2]]
+    if rng.uniform() >= 0.5:
+        img = img[::-1, :, :]
+        if len(boxes_xyxy):
+            boxes_xyxy = np.stack(
+                [
+                    boxes_xyxy[:, 0],
+                    1.0 - boxes_xyxy[:, 3],
+                    boxes_xyxy[:, 2],
+                    1.0 - boxes_xyxy[:, 1],
+                ],
+                axis=-1,
+            )
+    return img, boxes_xyxy
+
+
 def normalize_pixels(img: np.ndarray, mode: str) -> np.ndarray:
     if mode == "tf":
         return img / 127.5 - 1.0
@@ -207,6 +259,7 @@ class Loader:
         pad_position: str = "topleft",
         jitter: tuple[float, float] | None = None,
         flip: bool = True,
+        augment: str = "none",  # "none" | "hourglass" (photometric/rot90)
         normalize: str = "tf",
         shuffle: bool = True,
         seed: int = 0,
@@ -226,12 +279,24 @@ class Loader:
                 native = False
         self.ds = dataset
         self.batch_size = batch_size
-        self.canvas = (canvas, canvas) if isinstance(canvas, int) else canvas
+        # canvas: int -> fixed square; tuple -> fixed (h, w); list -> one
+        # square bucket chosen per batch (multi-scale training, reference
+        # train_hourglass_voc_v0.py:73 random train dims)
+        if isinstance(canvas, int):
+            self.canvas_buckets = [(canvas, canvas)]
+        elif isinstance(canvas, tuple):
+            self.canvas_buckets = [canvas]
+        else:
+            self.canvas_buckets = [
+                (c, c) if isinstance(c, int) else tuple(c) for c in canvas
+            ]
+        self.canvas = self.canvas_buckets[0]
         self.max_boxes = max_boxes
         self.mode = mode
         self.pad_position = pad_position
         self.jitter = jitter
         self.flip = flip
+        self.augment = augment
         self.normalize = normalize
         self.shuffle = shuffle
         self.seed = seed
@@ -255,10 +320,14 @@ class Loader:
         path = record["image_path"].lower()
         return path.endswith(".jpg") or path.endswith(".jpeg")
 
-    def _make_example(self, record: dict, rng: np.random.Generator):
+    def _make_example(self, record: dict, rng: np.random.Generator,
+                      canvas=None):
+        canvas = canvas or self.canvas
         boxes = np.asarray(record["boxes_xyxy"], np.float32)
         labels = np.asarray(record["labels"], np.int32)
         do_flip = self.flip and rng.uniform() <= 0.5
+        if self.augment == "hourglass":
+            do_flip = False  # flip is one arm of the joint augment
 
         if self._use_native(record):
             # native fast path: header-only size read, then decode straight
@@ -267,21 +336,27 @@ class Loader:
 
             h, w = nl.image_info(record["image_path"])
             new_hw = content_target_size(
-                h, w, self.canvas, mode=self.mode,
+                h, w, canvas, mode=self.mode,
                 jitter=self.jitter, rng=rng,
             )
             content = nl.decode_resize(record["image_path"], *new_hw)
+            if self.augment == "hourglass":
+                content, boxes = augment_photometric_geometric(
+                    content, boxes, rng
+                )
             if do_flip:
                 content, boxes = flip_horizontal(content, boxes)
             img, boxes_yxhw, _ = place_content_on_canvas(
-                content, boxes, self.canvas, pad_position=self.pad_position
+                content, boxes, canvas, pad_position=self.pad_position
             )
         else:
             img = decode_image(record)
+            if self.augment == "hourglass":
+                img, boxes = augment_photometric_geometric(img, boxes, rng)
             if do_flip:
                 img, boxes = flip_horizontal(img, boxes)
             img, boxes_yxhw, _ = place_on_canvas(
-                img, boxes, self.canvas,
+                img, boxes, canvas,
                 mode=self.mode, pad_position=self.pad_position,
                 jitter=self.jitter, rng=rng,
             )
@@ -300,8 +375,16 @@ class Loader:
                 ex_rng = np.random.default_rng(
                     (self.seed, step, self.host_id)
                 )
+                # multi-scale: one canvas bucket per batch (all hosts pick
+                # the same bucket for a given step via the shared seed)
+                bucket_rng = np.random.default_rng((self.seed, step, 7))
+                canvas = self.canvas_buckets[
+                    int(bucket_rng.integers(len(self.canvas_buckets)))
+                ]
                 for i in chunk:
-                    img, b, l, v = self._make_example(self.ds[int(i)], ex_rng)
+                    img, b, l, v = self._make_example(
+                        self.ds[int(i)], ex_rng, canvas=canvas
+                    )
                     imgs.append(img)
                     bs.append(b)
                     ls.append(l)

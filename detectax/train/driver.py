@@ -34,6 +34,7 @@ class TrainConfig:
     max_boxes: int = 64
     jitter: tuple[float, float] | None = None
     pad_position: str = "topleft"
+    augment: str = "none"
     normalize: str = "tf"
     resize_mode: str = "resize_pad"
     # optimization
@@ -67,6 +68,7 @@ def build_loader(cfg: TrainConfig, dataset):
         max_boxes=cfg.max_boxes,
         mode=cfg.resize_mode,
         pad_position=cfg.pad_position,
+        augment=cfg.augment,
         jitter=cfg.jitter,
         normalize=cfg.normalize,
         seed=cfg.seed,
@@ -95,7 +97,11 @@ def fit(
 
     devices = jax.devices()
     use_mesh = len(devices) > 1
-    sample = jnp.zeros((cfg.batch_size, cfg.canvas, cfg.canvas, 3))
+    canvas_max = (
+        max(cfg.canvas) if isinstance(cfg.canvas, (list, tuple))
+        else cfg.canvas
+    )
+    sample = jnp.zeros((cfg.batch_size, canvas_max, canvas_max, 3))
     state = create_train_state(
         model, jax.random.PRNGKey(cfg.seed), sample, optimizer
     )

@@ -75,7 +75,12 @@ def make_train_step(
     dict of ``images [B,H,W,3]``, ``boxes [B,N,4]``, ``labels [B,N]``,
     ``valid [B,N]``.
     """
-    batched_assign = jax.vmap(assign_fn)
+    import inspect
+
+    # assign_fn may take (boxes, labels, valid) with a baked-in canvas, or
+    # (boxes, labels, valid, img_hw) for multi-scale bucket training where
+    # the canvas comes from the (static-under-jit) batch image shape.
+    assign_takes_hw = len(inspect.signature(assign_fn).parameters) >= 4
 
     def forward_loss(params, batch_stats, images, y_true, batch_size):
         preds, mutated = model.apply(
@@ -94,6 +99,13 @@ def make_train_step(
     def step(state: TrainState, batch):
         images = batch["images"]
         bsz = images.shape[0]
+        if assign_takes_hw:
+            hw = (images.shape[1], images.shape[2])
+            batched_assign = jax.vmap(
+                lambda b, l, v: assign_fn(b, l, v, hw)
+            )
+        else:
+            batched_assign = jax.vmap(assign_fn)
         y_true = batched_assign(
             batch["boxes"], batch["labels"], batch["valid"]
         )

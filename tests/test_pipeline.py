@@ -97,3 +97,45 @@ def test_loader_center_pad():
     # centered content: some zero padding on both top and bottom rows
     assert np.abs(img[0]).sum() == 0 or np.abs(img[-1]).sum() == 0 or True
     assert b["images"].shape == (2, 128, 128, 3)
+
+
+def test_augment_photometric_geometric_box_remap(rng):
+    from detectax.data.pipeline import augment_photometric_geometric
+
+    img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    boxes = np.array([[0.1, 0.2, 0.5, 0.6]], np.float32)
+    # force geometric rot branch via controlled rng sequence
+    seen = set()
+    for seed in range(60):
+        r = np.random.default_rng(seed)
+        out_img, out_boxes = augment_photometric_geometric(
+            img.copy(), boxes.copy(), r, p_augment=1.0
+        )
+        if out_img.shape[:2] == (6, 4):  # transposed
+            seen.add("rot")
+            # area preserved under transpose/flip
+            w0 = boxes[0, 2] - boxes[0, 0]
+            h0 = boxes[0, 3] - boxes[0, 1]
+            w1 = out_boxes[0, 2] - out_boxes[0, 0]
+            h1 = out_boxes[0, 3] - out_boxes[0, 1]
+            np.testing.assert_allclose(sorted([w1, h1]), sorted([w0, h0]), atol=1e-6)
+            assert (out_boxes >= 0).all() and (out_boxes <= 1).all()
+        elif np.array_equal(out_boxes, boxes):
+            seen.add("photo")
+            assert out_img.shape == img.shape
+        else:
+            seen.add("flip")
+            np.testing.assert_allclose(
+                out_boxes, [[0.5, 0.2, 0.9, 0.6]], atol=1e-6
+            )
+    assert seen == {"rot", "photo", "flip"}
+
+
+def test_loader_multiscale_buckets():
+    ds = SyntheticDataset(n=16, img_size=64)
+    loader = Loader(
+        ds, batch_size=2, canvas=[64, 128], max_boxes=8, steps=12,
+        seed=0, prefetch=0,
+    )
+    shapes = {b["images"].shape[1] for b in loader}
+    assert shapes == {64, 128}
