@@ -29,6 +29,11 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     p.add_argument("--seed", type=int, default=d("seed", 0))
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/loss)")
+    p.add_argument("--profile_steps", type=int, nargs=2, default=None,
+                   metavar=("START", "STOP"),
+                   help="capture a jax.profiler trace over this step range")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
     return p
 
 
@@ -57,6 +62,10 @@ def config_from_args(args, **overrides) -> TrainConfig:
         resume=args.resume,
         dump_visuals=args.dump_visuals,
         seed=args.seed,
+        profile_steps=(
+            tuple(args.profile_steps) if args.profile_steps else None
+        ),
+        debug_nans=args.debug_nans,
     )
     for k, v in overrides.items():
         setattr(cfg, k, v)

@@ -268,6 +268,7 @@ class Loader:
         prefetch: int = 2,
         steps: int | None = None,
         native: bool | None = None,
+        emit_uint8: bool = False,
     ):
         if native is None:
             # opt-in by default when the C++ loader builds/loads cleanly
@@ -305,6 +306,7 @@ class Loader:
         self.prefetch = prefetch
         self.steps = steps
         self.native = native
+        self.emit_uint8 = emit_uint8
 
     def _indices(self, rng: np.random.Generator) -> np.ndarray:
         idx = np.arange(len(self.ds))
@@ -360,7 +362,12 @@ class Loader:
                 mode=self.mode, pad_position=self.pad_position,
                 jitter=self.jitter, rng=rng,
             )
-        img = normalize_pixels(img, self.normalize)
+        if self.emit_uint8:
+            # ship uint8 to the device (4x less host->device traffic);
+            # normalization happens inside the jitted step
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        else:
+            img = normalize_pixels(img, self.normalize)
         b, l, v = pad_gt(boxes_yxhw, labels, self.max_boxes)
         return img, b, l, v
 

@@ -20,30 +20,43 @@ Dtype = Any
 
 
 class BottleneckBlock(nn.Module):
-    """ResNet-v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4), BN+ReLU."""
+    """ResNet bottleneck: 1x1 -> 3x3 -> 1x1(x4), BN+ReLU.
+
+    `stride_first=False` (default) puts the stride on the 3x3 (v1.5);
+    `stride_first=True` puts it on the first 1x1 (Keras/original v1 —
+    needed by the TF weight-port tool, `detectax/tools/port_tf_weights`).
+    """
 
     features: int  # bottleneck width; output is 4x
     stride: int = 1
     groups: int = 1
     project: bool = False
+    stride_first: bool = False
+    conv_bias: bool = False
+    bn_eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        s1 = self.stride if self.stride_first else 1
+        s3 = 1 if self.stride_first else self.stride
         shortcut = x
         if self.project:
             shortcut = ConvBN(
                 4 * self.features, kernel=1, stride=self.stride, act=False,
+                use_bias=self.conv_bias, bn_eps=self.bn_eps,
                 dtype=self.dtype, name="proj",
             )(x, train)
-        h = ConvBN(self.features, kernel=1, dtype=self.dtype)(x, train)
+        h = ConvBN(self.features, kernel=1, stride=s1,
+                   use_bias=self.conv_bias, bn_eps=self.bn_eps,
+                   dtype=self.dtype)(x, train)
         h = ConvBN(
-            self.features, kernel=3, stride=self.stride, groups=self.groups,
-            dtype=self.dtype,
+            self.features, kernel=3, stride=s3, groups=self.groups,
+            use_bias=self.conv_bias, bn_eps=self.bn_eps, dtype=self.dtype,
         )(h, train)
-        h = ConvBN(4 * self.features, kernel=1, act=False, dtype=self.dtype)(
-            h, train
-        )
+        h = ConvBN(4 * self.features, kernel=1, act=False,
+                   use_bias=self.conv_bias, bn_eps=self.bn_eps,
+                   dtype=self.dtype)(h, train)
         return nn.relu(h + shortcut)
 
 
@@ -58,13 +71,26 @@ class ResNet(nn.Module):
     width: int = 64
     groups: int = 1
     width_factor: int = 1
+    keras_compat: bool = False  # Keras v1 conventions for weight porting
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = ConvBN(self.width, kernel=7, stride=2, dtype=self.dtype,
-                   name="stem")(x, train)
-        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+        bn_eps = 1.001e-5 if self.keras_compat else 1e-5
+        if self.keras_compat:
+            # Keras stem: explicit (3,3) pad + 7x7/2 VALID conv, then
+            # (1,1) pad + 3x3/2 VALID maxpool
+            h = ConvBN(
+                self.width, kernel=7, stride=2,
+                padding=((3, 3), (3, 3)), use_bias=True, bn_eps=bn_eps,
+                dtype=self.dtype, name="stem",
+            )(x, train)
+            h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
+        else:
+            h = ConvBN(self.width, kernel=7, stride=2, dtype=self.dtype,
+                       name="stem")(x, train)
+            h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
         taps = {}
         for stage, n_blocks in enumerate(self.stage_sizes):
             feats = self.width * (2**stage) * self.width_factor
@@ -75,6 +101,9 @@ class ResNet(nn.Module):
                     stride=stride,
                     groups=self.groups,
                     project=(blk == 0),
+                    stride_first=self.keras_compat,
+                    conv_bias=self.keras_compat,
+                    bn_eps=bn_eps,
                     dtype=self.dtype,
                     name=f"stage{stage + 2}_block{blk}",
                 )(h, train)

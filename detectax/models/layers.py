@@ -73,7 +73,12 @@ def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:
 
 
 class ConvBN(nn.Module):
-    """Conv + BatchNorm + optional ReLU."""
+    """Conv + BatchNorm + optional ReLU.
+
+    `padding` may be "SAME", "VALID", or explicit ((t,b),(l,r)) — the
+    latter reproduces Keras's ZeroPadding2D+valid stem convention for the
+    weight-port tool.
+    """
 
     features: int
     kernel: int = 3
@@ -81,6 +86,8 @@ class ConvBN(nn.Module):
     use_bias: bool = False
     act: bool = True
     groups: int = 1
+    padding: Any = "SAME"
+    bn_eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,14 +96,14 @@ class ConvBN(nn.Module):
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=self.padding,
             use_bias=self.use_bias,
             feature_group_count=self.groups,
             dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            use_running_average=not train, momentum=0.9,
+            epsilon=self.bn_eps, dtype=self.dtype,
         )(x)
         if self.act:
             x = nn.relu(x)

@@ -56,6 +56,11 @@ class TrainConfig:
     dump_visuals: bool = False
     out_dir: str = "outputs"
     seed: int = 0
+    # debugging / tracing (SURVEY.md §5.1-5.2: new first-class subsystems)
+    profile_steps: tuple[int, int] | None = None  # (start, stop) step range
+    debug_nans: bool = False
+    # ship uint8 batches and normalize on-device (4x less H2D traffic)
+    device_normalize: bool = True
 
 
 def build_loader(cfg: TrainConfig, dataset):
@@ -71,6 +76,7 @@ def build_loader(cfg: TrainConfig, dataset):
         augment=cfg.augment,
         jitter=cfg.jitter,
         normalize=cfg.normalize,
+        emit_uint8=cfg.device_normalize,
         seed=cfg.seed,
         num_hosts=jax.process_count(),
         host_id=jax.process_index(),
@@ -89,6 +95,8 @@ def fit(
 ) -> dict:
     """Run training; returns final metrics summary."""
     os.makedirs(cfg.out_dir, exist_ok=True)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     schedule = make_schedule(cfg.schedule, **cfg.schedule_kwargs)
     optimizer = make_optimizer(
         cfg.optimizer, schedule,
@@ -112,6 +120,7 @@ def fit(
         raw_step = make_train_step(
             model, assign_fn, loss_fn, optimizer,
             microbatch=cfg.microbatch, jit=False,
+            normalize=cfg.normalize if cfg.device_normalize else None,
         )
         step_fn = mesh_lib.make_sharded_train_step(
             raw_step, mesh, state_shardings=shardings
@@ -119,7 +128,8 @@ def fit(
     else:
         mesh = None
         step_fn = make_train_step(
-            model, assign_fn, loss_fn, optimizer, microbatch=cfg.microbatch
+            model, assign_fn, loss_fn, optimizer, microbatch=cfg.microbatch,
+            normalize=cfg.normalize if cfg.device_normalize else None,
         )
 
     ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=cfg.max_to_keep)
@@ -150,9 +160,16 @@ def fit(
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if mesh is not None:
             device_batch = mesh_lib.shard_batch(device_batch, mesh)
+        if cfg.profile_steps and step == cfg.profile_steps[0]:
+            jax.profiler.start_trace(os.path.join(cfg.out_dir, "profile"))
         state, metrics = step_fn(state, device_batch)
         meter.update(cfg.batch_size)
         step += 1
+        if cfg.profile_steps and step == cfg.profile_steps[1]:
+            # force completion so the trace captures real device work
+            _ = float(metrics["total"])
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {cfg.out_dir}/profile")
 
         if step % cfg.display_step == 0 or step == cfg.max_steps:
             metrics_host = {
@@ -165,9 +182,17 @@ def fit(
             logger.log(step, metrics_host)
             last_metrics = metrics_host
             if eval_hook and eval_fwd:
+                hook_batch = batch
+                if cfg.device_normalize:
+                    from detectax.data.pipeline import normalize_pixels
+
+                    hook_batch = dict(batch)
+                    hook_batch["images"] = normalize_pixels(
+                        batch["images"].astype(np.float32), cfg.normalize
+                    )
                 eval_hook(
                     step=step, state=state, forward=eval_fwd,
-                    batch=batch, out_dir=cfg.out_dir,
+                    batch=hook_batch, out_dir=cfg.out_dir,
                 )
 
         if step % cfg.step_save == 0 or step == cfg.max_steps:
