@@ -33,16 +33,17 @@ except ImportError:  # pragma: no cover
 
 
 def decode_image(record: dict) -> np.ndarray:
-    """Return HWC float32 image from an index record (array or file)."""
+    """Return an HWC image (uint8 or float32, 0..255) from an index record.
+
+    dtype is preserved so the uint8 fast path avoids float round trips."""
     if "image" in record and record["image"] is not None:
-        img = np.asarray(record["image"], dtype=np.float32)
-        return img
+        return np.asarray(record["image"])
     path = record["image_path"]
     if Image is None:
         raise RuntimeError("PIL required to decode image files")
     with Image.open(path) as im:
         im = im.convert("RGB")
-        return np.asarray(im, dtype=np.float32)
+        return np.asarray(im)
 
 
 def _resize(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
@@ -166,11 +167,12 @@ def place_content_on_canvas(
     normalized corner boxes to canvas-normalized (y, x, h, w)."""
     ch, cw = canvas
     new_h, new_w = content.shape[:2]
+    dtype = content.dtype if content.dtype == np.uint8 else np.float32
     if (new_h, new_w) == (ch, cw):
-        out = content.astype(np.float32)
+        out = content.astype(dtype, copy=False)
         off_y = off_x = 0
     else:
-        out = np.zeros((ch, cw, content.shape[2]), dtype=np.float32)
+        out = np.zeros((ch, cw, content.shape[2]), dtype=dtype)
         if pad_position == "center":
             off_y = (ch - new_h) // 2
             off_x = (cw - new_w) // 2
@@ -269,6 +271,7 @@ class Loader:
         steps: int | None = None,
         native: bool | None = None,
         emit_uint8: bool = False,
+        workers: int = 4,
     ):
         if native is None:
             # opt-in by default when the C++ loader builds/loads cleanly
@@ -307,6 +310,7 @@ class Loader:
         self.steps = steps
         self.native = native
         self.emit_uint8 = emit_uint8
+        self.workers = workers
 
     def _indices(self, rng: np.random.Generator) -> np.ndarray:
         idx = np.arange(len(self.ds))
@@ -365,13 +369,20 @@ class Loader:
         if self.emit_uint8:
             # ship uint8 to the device (4x less host->device traffic);
             # normalization happens inside the jitted step
-            img = np.clip(img, 0, 255).astype(np.uint8)
+            if img.dtype != np.uint8:
+                img = np.clip(img, 0, 255).astype(np.uint8)
         else:
-            img = normalize_pixels(img, self.normalize)
+            img = normalize_pixels(img.astype(np.float32), self.normalize)
         b, l, v = pad_gt(boxes_yxhw, labels, self.max_boxes)
         return img, b, l, v
 
     def _batches(self) -> Iterator[dict]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = (
+            ThreadPoolExecutor(max_workers=self.workers)
+            if self.workers > 0 else None
+        )
         step = 0
         epoch = 0
         while True:
@@ -388,10 +399,25 @@ class Loader:
                 canvas = self.canvas_buckets[
                     int(bucket_rng.integers(len(self.canvas_buckets)))
                 ]
-                for i in chunk:
-                    img, b, l, v = self._make_example(
-                        self.ds[int(i)], ex_rng, canvas=canvas
+                # per-example RNG streams keep parallel builds
+                # deterministic regardless of completion order
+                rngs = [
+                    np.random.default_rng((self.seed, step, self.host_id, j))
+                    for j in range(len(chunk))
+                ]
+                del ex_rng
+
+                def build(args):
+                    j, i = args
+                    return self._make_example(
+                        self.ds[int(i)], rngs[j], canvas=canvas
                     )
+
+                if pool is not None:
+                    results = list(pool.map(build, enumerate(chunk)))
+                else:
+                    results = [build(a) for a in enumerate(chunk)]
+                for img, b, l, v in results:
                     imgs.append(img)
                     bs.append(b)
                     ls.append(l)

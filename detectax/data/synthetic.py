@@ -13,9 +13,25 @@ import numpy as np
 CLASS_NAMES = ("square", "wide", "tall")
 
 
+_NOISE_CACHE: dict = {}
+
+
+def _base_noise(img_size: int, seed: int) -> np.ndarray:
+    """Cached background noise — generating fresh noise per sample made the
+    synthetic set slower than real JPEG decode and skewed benchmarks."""
+    key = (img_size, seed)
+    if key not in _NOISE_CACHE:
+        r = np.random.default_rng(seed)
+        _NOISE_CACHE[key] = r.integers(
+            0, 40, size=(img_size, img_size, 3), dtype=np.uint8
+        )
+    return _NOISE_CACHE[key]
+
+
 def make_sample(rng: np.random.Generator, img_size: int = 256, max_objects: int = 5):
     """One image [H,W,3] uint8 + normalized corner boxes (x1,y1,x2,y2) + labels."""
-    img = rng.integers(0, 40, size=(img_size, img_size, 3), dtype=np.uint8)
+    roll = int(rng.integers(0, img_size))
+    img = np.roll(_base_noise(img_size, 1234), roll, axis=(0, 1)).copy()
     n = int(rng.integers(1, max_objects + 1))
     boxes, labels = [], []
     for _ in range(n):
@@ -63,7 +79,7 @@ class SyntheticDataset:
             rng, self.img_size, self.max_objects
         )
         return {
-            "image": img.astype(np.float32),
+            "image": img,  # uint8; pipeline preserves dtype
             "boxes_xyxy": boxes,  # normalized corners (x1,y1,x2,y2)
             "labels": labels,
         }

@@ -84,6 +84,44 @@ def build_loader(cfg: TrainConfig, dataset):
     )
 
 
+def _device_prefetch(loader, mesh, depth: int = 2):
+    """Move host batches to the device on a background thread.
+
+    Host->device transfer through a remote-dispatch backend blocks the
+    calling thread; overlapping it with device compute (and with host batch
+    production) is worth ~4x end-to-end throughput. Yields
+    (device_batch, host_batch) pairs.
+    """
+    import queue as _queue
+    import threading as _threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for batch in loader:
+                db = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None:
+                    db = mesh_lib.shard_batch(db, mesh)
+                q.put((db, batch))
+        except Exception as e:  # surface loader errors in the main thread
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = _threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def fit(
     cfg: TrainConfig,
     model,
@@ -154,12 +192,9 @@ def fit(
     step = start_step
     last_metrics: dict = {}
     t_start = time.time()
-    for batch in loader:
+    for device_batch, batch in _device_prefetch(loader, mesh):
         if step >= cfg.max_steps:
             break
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if mesh is not None:
-            device_batch = mesh_lib.shard_batch(device_batch, mesh)
         if cfg.profile_steps and step == cfg.profile_steps[0]:
             jax.profiler.start_trace(os.path.join(cfg.out_dir, "profile"))
         state, metrics = step_fn(state, device_batch)
