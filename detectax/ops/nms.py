@@ -188,7 +188,10 @@ def nms(
         "scores": scores_s[out_idx] * vf,
         "classes": jnp.where(valid, classes_s[out_idx], -1),
         "valid": valid,
-        "num_valid": jnp.sum(keep.astype(jnp.int32)),
+        # survivors actually returned (keep count clamped to max_outputs)
+        "num_valid": jnp.minimum(
+            jnp.sum(keep.astype(jnp.int32)), max_outputs
+        ),
     }
 
 

@@ -126,3 +126,15 @@ def test_batched_nms_shape(rng):
     out = N.batched_nms(bb, bs, bc, max_outputs=10)
     assert out["boxes"].shape == (2, 10, 4)
     assert out["valid"].shape == (2, 10)
+
+
+def test_num_valid_clamped_to_max_outputs(rng):
+    boxes, scores, classes = _random_dets(rng, k=64)
+    # spread boxes far apart so nothing suppresses
+    boxes = boxes + np.arange(64, dtype=np.float32)[:, None] * 1000.0
+    out = N.nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        class_aware=False, max_outputs=10,
+    )
+    assert int(out["num_valid"]) == 10
+    assert bool(np.all(np.asarray(out["valid"])))
