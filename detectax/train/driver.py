@@ -132,6 +132,7 @@ def fit(
     eval_hook: Callable | None = None,
 ) -> dict:
     """Run training; returns final metrics summary."""
+    mesh_lib.maybe_initialize_distributed()
     os.makedirs(cfg.out_dir, exist_ok=True)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
