@@ -107,3 +107,13 @@ def test_evaluate_cli_after_training(tmp_path):
     assert "mAP@0.5" in summary
     assert 0.0 <= summary["mAP@0.5"] <= 1.0
     assert summary["num_images"] == 16
+
+
+@pytest.mark.slow
+def test_train_hourglass_multiscale_buckets(tmp_path):
+    summary = train_hourglass_voc.main(
+        _common_args(tmp_path)
+        + ["--n_filters", "2", "--multi_scale", "64", "128"]
+    )
+    assert summary["final_step"] == 4
+    assert np.isfinite(summary["total"])
