@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import numpy as np
 

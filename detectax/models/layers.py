@@ -7,7 +7,7 @@ statistics in the `batch_stats` collection; pass `train=True` to update.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ fixes in favor of the stated (and standard-FCOS) semantics.
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Sequence
 
 import jax.numpy as jnp

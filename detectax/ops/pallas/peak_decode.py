@@ -7,7 +7,6 @@ neighborhood (the standard maxpool-equals trick).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

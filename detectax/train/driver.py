@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -253,8 +253,6 @@ def fit(
 
 def restore_for_inference(cfg_ckpt_dir: str, model, canvas: int, optimizer=None):
     """Build a state template and restore the latest checkpoint for infer."""
-    import optax
-
     opt = optimizer or make_optimizer(
         "sgd", make_schedule("constant", init_lr=1e-3)
     )

@@ -18,7 +18,7 @@ optional `microbatch` argument keeps the memory-bounded semantics via
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable
 
 import jax

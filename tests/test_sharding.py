@@ -1,5 +1,5 @@
 """Data-parallel sharding tests on the 8-virtual-device CPU mesh."""
-import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +9,6 @@ from detectax.data import Loader, SyntheticDataset
 from detectax.models import FCOS
 from detectax.ops import assign
 from detectax.parallel.mesh import (
-    batch_sharding,
     make_mesh,
     make_sharded_train_step,
     shard_batch,
