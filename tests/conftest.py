@@ -21,6 +21,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: model-graph compiles dominate suite wall
+# time; caching them across runs cuts the suite from ~45 to a few minutes.
+_cache_dir = os.environ.get(
+    "DETECTAX_TEST_CACHE", "/root/.cache/detectax_xla_cache"
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
