@@ -16,9 +16,20 @@ import json
 import os
 import time
 
+# persistent compile cache (must be set before jax import): saves ~30s of
+# remote TPU compile per driver round
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/detectax_tpu_cache"
+)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 # Measured reference-equivalent CPU throughput (BASELINE.md).
 CPU_REFERENCE_IMG_PER_SEC = 0.129

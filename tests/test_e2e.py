@@ -117,3 +117,10 @@ def test_train_hourglass_multiscale_buckets(tmp_path):
     )
     assert summary["final_step"] == 4
     assert np.isfinite(summary["total"])
+
+
+def test_train_centernet_heatmap_cli_smoke(tmp_path):
+    from detectax.cli import train_centernet_heatmap
+
+    summary = train_centernet_heatmap.main(_common_args(tmp_path))
+    _check_artifacts(tmp_path, summary)
