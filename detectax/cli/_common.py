@@ -29,6 +29,10 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     p.add_argument("--seed", type=int, default=d("seed", 0))
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/loss)")
+    p.add_argument("--freeze_bn", action="store_true",
+                   help="freeze backbone BatchNorm statistics during "
+                        "training (~1.4x faster step; best with ported "
+                        "pretrained backbones)")
     p.add_argument("--profile_steps", type=int, nargs=2, default=None,
                    metavar=("START", "STOP"),
                    help="capture a jax.profiler trace over this step range")

@@ -36,7 +36,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = CenterNetS8(
         num_classes=nc, n_scales=len(args.box_scales),
-        backbone=args.backbone, dtype=dtype,
+        backbone=args.backbone, dtype=dtype, freeze_bn=args.freeze_bn,
     )
     cfg = config_from_args(
         args,

@@ -28,7 +28,8 @@ def main(argv=None):
     nc = dataset.num_classes
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = FCOS(num_classes=nc, variant="center_v1",
-                 backbone=args.backbone, dtype=dtype)
+                 backbone=args.backbone, dtype=dtype,
+                 freeze_bn=args.freeze_bn)
     cfg = config_from_args(
         args,
         optimizer="sgd",

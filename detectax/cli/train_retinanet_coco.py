@@ -42,7 +42,7 @@ def main(argv=None):
     model = RetinaNet(
         num_classes=nc, n_anchors=anchors[0].shape[0],
         backbone=args.backbone, per_anchor_heads=args.per_anchor_heads,
-        dtype=dtype,
+        dtype=dtype, freeze_bn=args.freeze_bn,
     )
     cfg = config_from_args(
         args,

@@ -53,11 +53,14 @@ class CenterNetS8(nn.Module):
     n_scales: int = 5
     backbone: str = "resnet50"
     features: int = 256
+    freeze_bn: bool = False  # freeze backbone BN stats (see models/fcos.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        taps = build_backbone(self.backbone, self.dtype)(x, train)
+        taps = build_backbone(self.backbone, self.dtype)(
+            x, train and not self.freeze_bn
+        )
         feat = S8CollapseFPN(self.features, dtype=self.dtype, name="fpn")(taps)
 
         cf = ConvTower(self.features, dtype=self.dtype, name="cls_tower")(feat)
@@ -87,11 +90,14 @@ class CenterNetFPNSingle(nn.Module):
     num_classes: int  # heatmap channel count includes background slot +1
     backbone: str = "resnet50"
     features: int = 256
+    freeze_bn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        taps = build_backbone(self.backbone, self.dtype)(x, train)
+        taps = build_backbone(self.backbone, self.dtype)(
+            x, train and not self.freeze_bn
+        )
         feat = S8CollapseFPN(self.features, dtype=self.dtype, name="fpn")(taps)
         cf = ConvTower(self.features, dtype=self.dtype, name="cls_tower")(feat)
         rf = ConvTower(self.features, dtype=self.dtype, name="reg_tower")(feat)

@@ -35,11 +35,14 @@ class RetinaNet(nn.Module):
     backbone: str = "resnet50"
     features: int = 256
     per_anchor_heads: bool = False
+    freeze_bn: bool = False  # freeze backbone BN stats (see models/fcos.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        taps = build_backbone(self.backbone, self.dtype)(x, train)
+        taps = build_backbone(self.backbone, self.dtype)(
+            x, train and not self.freeze_bn
+        )
         levels = FPN(self.features, dtype=self.dtype, name="fpn")(taps)
 
         cls_tower = ConvTower(self.features, dtype=self.dtype, name="cls_tower")
