@@ -3,6 +3,10 @@
 New capability beyond the reference (whose only eval was visual overlays):
 restores a checkpoint, runs the jitted forward + decode + NMS over the
 eval set, and reports VOC/COCO mAP via `detectax.eval`.
+
+Preprocessing geometry (resize mode / pad position / pixel normalization)
+defaults to each family's *training* configuration so mAP is measured on
+the distribution the model saw; every knob is overridable.
 """
 from __future__ import annotations
 
@@ -15,11 +19,33 @@ import numpy as np
 from detectax.cli._common import dataset_from_args
 from detectax.eval.detection_metrics import MeanAPEvaluator, coco_evaluator
 from detectax.infer import predict as P
-from detectax.models import FCOS, CenterNetS8, RetinaNet
+from detectax.models import (
+    FCOS,
+    CenterNetFPNSingle,
+    CenterNetS8,
+    HourglassNet,
+    RetinaNet,
+)
 from detectax.ops import anchors as anchor_lib
 from detectax.train.driver import restore_for_inference
 
-FAMILIES = ("fcos", "fcos_center", "fcos_center_v1", "centernet_s8", "retinanet")
+FAMILIES = (
+    "fcos", "fcos_center", "fcos_center_v1", "centernet_s8",
+    "centernet_heatmap", "hourglass", "retinanet",
+)
+
+# Training-time preprocessing per family (mirrors the trainer CLIs; see
+# ADVICE.md r1: eval must match training geometry or mAP is misreported).
+#   family: (resize_mode, pad_position, normalize, default_canvas)
+TRAIN_GEOMETRY = {
+    "fcos": ("resize_pad", "topleft", "tf", 384),
+    "fcos_center": ("stretch", "topleft", "tf", 384),
+    "fcos_center_v1": ("stretch", "topleft", "tf", 384),
+    "centernet_s8": ("stretch", "center", "unit", 512),
+    "centernet_heatmap": ("resize_pad", "topleft", "tf", 384),
+    "hourglass": ("resize_pad", "center", "tf", 320),
+    "retinanet": ("stretch", "topleft", "tf", 512),
+}
 
 
 def build_family(family, nc, backbone, canvas, args):
@@ -42,6 +68,13 @@ def build_family(family, nc, backbone, canvas, args):
         model = CenterNetS8(num_classes=nc, n_scales=len(scales),
                             backbone=backbone)
         return model, lambda out: P.centernet_s8_decode(out, box_scales=scales)
+    if family == "centernet_heatmap":
+        model = CenterNetFPNSingle(num_classes=nc, backbone=backbone)
+        return model, lambda out: P.centernet_heatmap_decode(out)
+    if family == "hourglass":
+        model = HourglassNet(num_classes=nc, n_filters=args.n_filters)
+        scales = tuple(canvas / (2.0 ** x) for x in reversed(range(4)))
+        return model, lambda out: P.hourglass_decode(out, box_scales=scales)
     if family == "retinanet":
         anchors = anchor_lib.anchor_shapes_per_level(
             anchor_sizes=args.anchor_sizes
@@ -61,7 +94,8 @@ def main(argv=None):
     p.add_argument("--synthetic_n", type=int, default=64)
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--ckpt_dir", default="ckpt")
-    p.add_argument("--canvas", type=int, default=384)
+    p.add_argument("--canvas", type=int, default=None,
+                   help="eval canvas (default: the family's training canvas)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_boxes", type=int, default=64)
     p.add_argument("--cls_thresh", type=float, default=0.05)
@@ -73,9 +107,28 @@ def main(argv=None):
                    default=[32.0, 64.0, 128.0, 256.0, 512.0])
     p.add_argument("--anchor_sizes", type=float, nargs="+",
                    default=[32.0, 64.0, 128.0, 256.0, 512.0])
+    p.add_argument("--n_filters", type=int, default=12,
+                   help="hourglass width (must match training)")
     p.add_argument("--max_outputs", type=int, default=100)
+    p.add_argument("--resize_mode", choices=("resize_pad", "stretch"),
+                   default=None,
+                   help="default: the family's training resize mode")
+    p.add_argument("--pad_position", choices=("topleft", "center"),
+                   default=None)
+    p.add_argument("--normalize", choices=("tf", "unit", "none"),
+                   default=None)
+    p.add_argument("--class_aware_candidates", action="store_true",
+                   help="rank all (box, class) pairs before NMS (TF "
+                        "combined-NMS semantics, reference FCOS infer path)")
     p.add_argument("--out_json", default=None)
     args = p.parse_args(argv)
+
+    geo_mode, geo_pad, geo_norm, geo_canvas = TRAIN_GEOMETRY[args.family]
+    resize_mode = args.resize_mode or geo_mode
+    pad_position = args.pad_position or geo_pad
+    normalize = args.normalize or geo_norm
+    if args.canvas is None:
+        args.canvas = geo_canvas
 
     dataset = dataset_from_args(args)
     nc = dataset.num_classes
@@ -88,7 +141,8 @@ def main(argv=None):
     loader = Loader(
         dataset, batch_size=args.batch_size, canvas=args.canvas,
         max_boxes=args.max_boxes, flip=False, shuffle=False,
-        mode="stretch", prefetch=1,
+        mode=resize_mode, pad_position=pad_position, normalize=normalize,
+        prefetch=1, drop_remainder=False,
     )
     evaluator = (
         coco_evaluator(nc) if args.coco_metrics
@@ -104,12 +158,18 @@ def main(argv=None):
         dets = P.detections_from_dense(
             boxes, probs, iou_thresh=args.iou_thresh,
             score_thresh=args.cls_thresh, max_outputs=args.max_outputs,
+            class_aware_candidates=args.class_aware_candidates,
         )
         det_boxes = np.asarray(dets["boxes"])
         det_scores = np.asarray(dets["scores"])
         det_classes = np.asarray(dets["classes"])
         n_valid = np.asarray(dets["num_valid"])
+        ex_valid = batch.get(
+            "example_valid", np.ones(len(batch["images"]), bool)
+        )
         for i in range(len(batch["images"])):
+            if not ex_valid[i]:
+                continue  # padding of the final partial batch
             n = int(n_valid[i])
             gt_v = batch["valid"][i]
             gt_yxhw = batch["boxes"][i][gt_v] * canvas

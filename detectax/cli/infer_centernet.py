@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", default="ckpt")
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--num_classes", type=int, default=1)
+    p.add_argument("--variant", choices=("s8", "heatmap"), default="s8",
+                   help="'s8' = scale-slot CenterNetS8; 'heatmap' = "
+                        "single-map CenterNetFPNSingle (peak decode, "
+                        "reference tf_centernet.py semantics)")
     p.add_argument("--labels_json", default=None)
     p.add_argument("--img_dims", type=int, default=512)
     p.add_argument("--box_scales", type=float, nargs="+",
@@ -43,23 +47,35 @@ def main(argv=None):
         with open(args.labels_json) as f:
             id_to_label = {int(k): v for k, v in json.load(f).items()}
 
-    model = CenterNetS8(
-        num_classes=args.num_classes, n_scales=len(args.box_scales),
-        backbone=args.backbone,
-    )
+    if args.variant == "heatmap":
+        from detectax.models import CenterNetFPNSingle
+
+        model = CenterNetFPNSingle(
+            num_classes=args.num_classes, backbone=args.backbone
+        )
+        pixel_norm = "tf"  # this family trains with /127.5-1
+    else:
+        model = CenterNetS8(
+            num_classes=args.num_classes, n_scales=len(args.box_scales),
+            backbone=args.backbone,
+        )
+        pixel_norm = "unit"
     state = restore_for_inference(args.ckpt_dir, model, args.img_dims)
 
     raw = decode_image({"image_path": args.img_file})
     oh, ow = raw.shape[:2]
     img = normalize_pixels(
-        _resize(raw, (args.img_dims, args.img_dims)), "unit"
+        _resize(raw, (args.img_dims, args.img_dims)), pixel_norm
     )[None]
 
     out = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         jnp.asarray(img), train=False,
     )
-    boxes, probs = P.centernet_s8_decode(out, box_scales=args.box_scales)
+    if args.variant == "heatmap":
+        boxes, probs = P.centernet_heatmap_decode(out)
+    else:
+        boxes, probs = P.centernet_s8_decode(out, box_scales=args.box_scales)
     dets = P.detections_from_dense(
         boxes, probs, iou_thresh=args.iou_thresh,
         score_thresh=args.cls_thresh, max_outputs=200,
@@ -75,9 +91,15 @@ def main(argv=None):
         np.asarray(dets["scores"][0][:n]),
         id_to_label, out_file=args.detect_out,
     )
-    hm = np.asarray(
-        jnp.max(1.0 / (1.0 + jnp.exp(-out[0][..., 4:])), axis=(-1, -2))
-    )
+    if args.variant == "heatmap":
+        # [h,w,4+1+C]: max class prob (objectness slot 0 skipped)
+        hm = np.asarray(
+            jnp.max(1.0 / (1.0 + jnp.exp(-out[0][..., 6:])), axis=-1)
+        )
+    else:
+        hm = np.asarray(
+            jnp.max(1.0 / (1.0 + jnp.exp(-out[0][..., 4:])), axis=(-1, -2))
+        )
     save_heatmap(hm, out_file=args.heatmap_out, image=img[0])
     print(f"{n} detections -> {args.detect_out}")
 

@@ -55,9 +55,12 @@ def main(argv=None):
         jnp.asarray(img), train=False,
     )
     boxes, probs = P.fcos_decode(outs, use_centerness=args.center)
+    # class_aware_candidates: TF combined-NMS semantics (a box may surface
+    # under several classes), matching reference `infer_fcos.py:58-61`.
     dets = P.detections_from_dense(
         boxes, probs, iou_thresh=args.iou_thresh,
         score_thresh=args.cls_thresh, max_outputs=100,
+        class_aware_candidates=True,
     )
     n = int(dets["num_valid"][0])
     sel_boxes = np.asarray(dets["boxes"][0][:n])

@@ -29,6 +29,14 @@ def main(argv=None):
                    default=[32.0, 64.0, 128.0, 256.0, 512.0])
     p.add_argument("--lr_boundaries", type=int, nargs="+",
                    default=[20000, 25000])
+    p.add_argument("--use_scale", action="store_true",
+                   help="per-step random content scale: one square content "
+                        "side ~ U(min_scale*base_dims, canvas) per batch, "
+                        "stretched and center-padded (reference "
+                        "train_centernet_crowdhuman.py:53-62)")
+    p.add_argument("--min_scale", type=float, default=0.7)
+    p.add_argument("--base_dims", type=int, default=448,
+                   help="reference base_rows/base_cols (=448)")
     args = p.parse_args(argv)
 
     dataset = dataset_from_args(args)
@@ -49,7 +57,13 @@ def main(argv=None):
         },
         pad_position="center",
         normalize="unit",  # this family divides by 255 (resnet_s8.py:15)
+        # reference parses images square at raw_dims (stretch), center-pads
+        # to the canvas (train_centernet_crowdhuman.py:59-96)
+        resize_mode="stretch",
     )
+    if args.use_scale:
+        cfg.jitter = (args.min_scale * args.base_dims, float(cfg.canvas))
+        cfg.jitter_per_batch = True
     img = (cfg.canvas, cfg.canvas)
 
     def assign_fn(boxes, labels, valid):

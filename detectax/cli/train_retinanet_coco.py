@@ -31,9 +31,35 @@ def main(argv=None):
     p.add_argument("--lr_boundaries", type=int, nargs="+", default=[60000])
     p.add_argument("--per_anchor_heads", action="store_true",
                    help="reference's 90 separate head convs (slower)")
+    p.add_argument("--skip_zero_target",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="exclude images whose anchor assignment yields no "
+                        "positives (reference train_retinanet_coco.py:"
+                        "198-205 batch composition); filtered once up "
+                        "front since stretch-geometry assignment is "
+                        "deterministic")
     args = p.parse_args(argv)
 
     dataset = dataset_from_args(args)
+    if args.skip_zero_target:
+        from detectax.data.index import SubsetDataset
+
+        keep = [
+            i for i in range(len(dataset))
+            if anchor_lib.has_anchor_targets_np(
+                dataset[i]["boxes_xyxy"], (args.canvas, args.canvas),
+                anchor_sizes=args.anchor_sizes,
+                iou_thresh=args.iou_thresh,
+            )
+        ]
+        dropped = len(dataset) - len(keep)
+        if dropped:
+            print(f"skip_zero_target: excluded {dropped}/{len(dataset)} "
+                  "images with no anchor matches")
+        if not keep:
+            raise SystemExit("skip_zero_target removed every image — "
+                             "check anchor_sizes vs object scales")
+        dataset = SubsetDataset(dataset, keep)
     nc = dataset.num_classes
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     anchors = anchor_lib.anchor_shapes_per_level(

@@ -33,6 +33,25 @@ def load_index(path: str):
     return data["classes"], data["samples"]
 
 
+class SubsetDataset:
+    """A filtered view over any map-style dataset (keeps class metadata)."""
+
+    def __init__(self, dataset, keep_indices):
+        self.ds = dataset
+        self.keep = list(keep_indices)
+        self.id_to_label = getattr(dataset, "id_to_label", None)
+
+    @property
+    def num_classes(self) -> int:
+        return self.ds.num_classes
+
+    def __len__(self):
+        return len(self.keep)
+
+    def __getitem__(self, idx: int):
+        return self.ds[self.keep[idx]]
+
+
 class IndexDataset:
     """Map-style dataset over an index JSON, for `data.pipeline.Loader`."""
 

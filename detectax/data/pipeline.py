@@ -144,6 +144,15 @@ def content_target_size(
     path (which decodes straight to the target size)."""
     ch, cw = canvas
     if mode == "stretch":
+        if jitter is not None and rng is not None:
+            # jittered square content, stretched (non-aspect-preserving) and
+            # later padded to the canvas — the reference CrowdHuman
+            # per-step random content scale
+            # (`train_centernet_crowdhuman.py:53-62`: raw_dims =
+            # rnd_scale * base_dims, parsed square, center-padded).
+            side = int(round(float(rng.uniform(jitter[0], jitter[1]))))
+            side = max(1, min(side, min(ch, cw)))
+            return side, side
         return ch, cw
     min_side = float(min(ch, cw))
     if jitter is not None and rng is not None:
@@ -260,6 +269,7 @@ class Loader:
         mode: str = "resize_pad",
         pad_position: str = "topleft",
         jitter: tuple[float, float] | None = None,
+        jitter_per_batch: bool = False,
         flip: bool = True,
         augment: str = "none",  # "none" | "hourglass" (photometric/rot90)
         normalize: str = "tf",
@@ -272,6 +282,7 @@ class Loader:
         native: bool | None = None,
         emit_uint8: bool = False,
         workers: int = 4,
+        drop_remainder: bool = True,
     ):
         if native is None:
             # opt-in by default when the C++ loader builds/loads cleanly
@@ -299,6 +310,10 @@ class Loader:
         self.mode = mode
         self.pad_position = pad_position
         self.jitter = jitter
+        # one shared jitter draw per batch (reference CrowdHuman "use only
+        # one image resolution to train", train_centernet_crowdhuman.py:52)
+        # vs. independent per-example draws
+        self.jitter_per_batch = jitter_per_batch
         self.flip = flip
         self.augment = augment
         self.normalize = normalize
@@ -311,6 +326,10 @@ class Loader:
         self.native = native
         self.emit_uint8 = emit_uint8
         self.workers = workers
+        # drop_remainder=False pads the final partial batch (repeating its
+        # last example) and marks padding via the "example_valid" mask so
+        # single-pass eval covers every image (no silent mAP truncation).
+        self.drop_remainder = drop_remainder
 
     def _indices(self, rng: np.random.Generator) -> np.ndarray:
         idx = np.arange(len(self.ds))
@@ -327,25 +346,37 @@ class Loader:
         return path.endswith(".jpg") or path.endswith(".jpeg")
 
     def _make_example(self, record: dict, rng: np.random.Generator,
-                      canvas=None):
+                      canvas=None, jitter=None):
         canvas = canvas or self.canvas
+        jitter = jitter if jitter is not None else self.jitter
         boxes = np.asarray(record["boxes_xyxy"], np.float32)
         labels = np.asarray(record["labels"], np.int32)
         do_flip = self.flip and rng.uniform() <= 0.5
         if self.augment == "hourglass":
             do_flip = False  # flip is one arm of the joint augment
 
+        native_ok = False
         if self._use_native(record):
             # native fast path: header-only size read, then decode straight
-            # to the target content size (skips the full-resolution decode)
+            # to the target content size (skips the full-resolution decode).
+            # Failures (CMYK JPEGs libjpeg won't convert, corrupt files)
+            # fall back to the PIL path instead of killing the run.
             from detectax.data import native_loader as nl
 
-            h, w = nl.image_info(record["image_path"])
-            new_hw = content_target_size(
-                h, w, canvas, mode=self.mode,
-                jitter=self.jitter, rng=rng,
-            )
-            content = nl.decode_resize(record["image_path"], *new_hw)
+            try:
+                h, w = nl.image_info(record["image_path"])
+                new_hw = content_target_size(
+                    h, w, canvas, mode=self.mode,
+                    jitter=jitter, rng=rng,
+                )
+                content = nl.decode_resize(record["image_path"], *new_hw)
+                native_ok = True
+            except Exception as e:
+                print(
+                    f"native decode failed for {record['image_path']!r} "
+                    f"({e}); falling back to PIL"
+                )
+        if native_ok:
             if self.augment == "hourglass":
                 content, boxes = augment_photometric_geometric(
                     content, boxes, rng
@@ -364,7 +395,7 @@ class Loader:
             img, boxes_yxhw, _ = place_on_canvas(
                 img, boxes, canvas,
                 mode=self.mode, pad_position=self.pad_position,
-                jitter=self.jitter, rng=rng,
+                jitter=jitter, rng=rng,
             )
         if self.emit_uint8:
             # ship uint8 to the device (4x less host->device traffic);
@@ -387,8 +418,20 @@ class Loader:
         epoch = 0
         while True:
             idx = self._indices(np.random.default_rng((self.seed, epoch)))
-            for s in range(0, len(idx) - self.batch_size + 1, self.batch_size):
+            starts = list(range(0, len(idx) - self.batch_size + 1,
+                                self.batch_size))
+            tail = len(starts) * self.batch_size
+            has_tail = (not self.drop_remainder) and tail < len(idx)
+            if has_tail:
+                starts.append(tail)
+            for s in starts:
                 chunk = idx[s:s + self.batch_size]
+                n_real = len(chunk)
+                if n_real < self.batch_size:  # padded final batch
+                    chunk = np.concatenate(
+                        [chunk,
+                         np.repeat(chunk[-1:], self.batch_size - n_real)]
+                    )
                 imgs, bs, ls, vs = [], [], [], []
                 ex_rng = np.random.default_rng(
                     (self.seed, step, self.host_id)
@@ -399,6 +442,12 @@ class Loader:
                 canvas = self.canvas_buckets[
                     int(bucket_rng.integers(len(self.canvas_buckets)))
                 ]
+                # per-batch shared jitter: one content-scale draw for the
+                # whole batch (all hosts agree via the shared seed)
+                jitter = self.jitter
+                if self.jitter is not None and self.jitter_per_batch:
+                    side = float(bucket_rng.uniform(*self.jitter))
+                    jitter = (side, side)
                 # per-example RNG streams keep parallel builds
                 # deterministic regardless of completion order
                 rngs = [
@@ -410,7 +459,8 @@ class Loader:
                 def build(args):
                     j, i = args
                     return self._make_example(
-                        self.ds[int(i)], rngs[j], canvas=canvas
+                        self.ds[int(i)], rngs[j], canvas=canvas,
+                        jitter=jitter,
                     )
 
                 if pool is not None:
@@ -422,12 +472,17 @@ class Loader:
                     bs.append(b)
                     ls.append(l)
                     vs.append(v)
-                yield {
+                batch = {
                     "images": np.stack(imgs),
                     "boxes": np.stack(bs),
                     "labels": np.stack(ls),
                     "valid": np.stack(vs),
                 }
+                if not self.drop_remainder:
+                    ev = np.zeros((self.batch_size,), bool)
+                    ev[:n_real] = True
+                    batch["example_valid"] = ev
+                yield batch
                 step += 1
                 if self.steps is not None and step >= self.steps:
                     return

@@ -115,6 +115,54 @@ def hourglass_decode(
     return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_probs, axis=1)
 
 
+def centernet_heatmap_decode(
+    output: jnp.ndarray,
+    *,
+    stride: int = 8,
+    use_centerness: bool = True,
+    peak_mask: bool = True,
+    skip_background: bool = True,
+    use_pallas: bool | None = None,
+):
+    """Single-map heatmap decode for `CenterNetFPNSingle` / the reference's
+    orphaned `CenterNet/tf_centernet.py` model: output ``[B,h,w,4+1+C]``
+    with raw ltrb reg (stride units), a center-prior channel, and C class
+    logits (objectness slot at index 0 per the reference COCO ETL
+    convention — dropped when ``skip_background``).
+
+    Pipeline: sigmoid → (×σ(center)) → 3x3 local-peak mask (the CenterNet
+    maxpool-equals NMS-free trick, fused as a Pallas TPU kernel) → dense
+    (boxes, probs) for `detections_from_dense` / plain top-k.
+    """
+    from detectax.ops.pallas import (
+        peak_mask_scores_pallas,
+        peak_mask_scores_reference,
+    )
+    from detectax.ops.pallas._common import on_tpu
+
+    b, h, w, _ = output.shape
+    reg = output[..., :4]
+    cen = output[..., 4]
+    cls = output[..., 5:]
+    boxes = ltrb_to_corners(reg, float(stride))
+    probs = _sigmoid(cls.astype(jnp.float32))
+    if skip_background:
+        probs = probs[..., 1:]
+    if use_centerness:
+        probs = probs * _sigmoid(cen.astype(jnp.float32))[..., None]
+    if peak_mask:
+        if use_pallas is None:
+            use_pallas = on_tpu()
+        c = probs.shape[-1]
+        # fold batch into the plane axis so one pallas_call covers all
+        # [B*C] class planes (grid over planes; no vmap needed)
+        planes = jnp.transpose(probs, (1, 2, 0, 3)).reshape(h, w, b * c)
+        fn = peak_mask_scores_pallas if use_pallas else peak_mask_scores_reference
+        planes = fn(planes)
+        probs = jnp.transpose(planes.reshape(h, w, b, c), (2, 0, 1, 3))
+    return boxes.reshape(b, -1, 4), probs.reshape(b, h * w, probs.shape[-1])
+
+
 def retinanet_decode(
     outputs: Sequence[jnp.ndarray],
     *,
@@ -138,7 +186,7 @@ def retinanet_decode(
     jax.jit,
     static_argnames=(
         "top_k", "iou_thresh", "score_thresh", "max_outputs",
-        "class_aware", "mode", "soft_sigma",
+        "class_aware", "mode", "soft_sigma", "class_aware_candidates",
     ),
 )
 def detections_from_dense(
@@ -152,11 +200,22 @@ def detections_from_dense(
     class_aware: bool = True,
     mode: str = "hard",
     soft_sigma: float = 0.3,
+    class_aware_candidates: bool = False,
 ):
-    """Batched candidate selection + NMS over dense (boxes, probs)."""
+    """Batched candidate selection + NMS over dense (boxes, probs).
+
+    ``class_aware_candidates=True`` ranks all M*C (box, class) pairs so one
+    box can surface under several classes — TF
+    ``combined_non_max_suppression`` semantics, the reference FCOS infer
+    path (`FCOS/infer_fcos.py:58-61`). False ranks each box only under its
+    argmax class (the reference `cpu_nms` path,
+    `RetinaNet/retinanet_module.py:510-524`).
+    """
 
     def single(bx, pr):
-        cb, cs, cc = nms_lib.select_top_k(bx, pr, top_k)
+        cb, cs, cc = nms_lib.select_top_k(
+            bx, pr, top_k, class_aware_candidates=class_aware_candidates
+        )
         return nms_lib.nms(
             cb, cs, cc,
             iou_thresh=iou_thresh, score_thresh=score_thresh,

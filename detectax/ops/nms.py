@@ -14,9 +14,9 @@ One kernel (+ flags) replaces the reference's three NMS variants
 Everything is static-shape: callers pre-select K candidates with
 `select_top_k`, suppression runs over a ``[K, K]`` IoU matrix with a
 `lax.fori_loop`, and results come back padded to ``max_outputs`` with a
-validity mask. Class-aware mode uses the class-offset trick (boxes shifted
-by ``class_id * OFFSET`` so cross-class IoU is 0) rather than a per-class
-Python loop.
+validity mask. Class-aware mode zeroes cross-class entries of the IoU
+matrix directly (exact — no coordinate-offset precision loss) rather than
+running a per-class Python loop.
 """
 from __future__ import annotations
 
@@ -26,8 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from detectax.ops.boxes import pairwise_iou_corners
-
-CLASS_OFFSET = 1e5
 
 
 def select_top_k(
@@ -155,12 +153,10 @@ def nms(
     scores_s = scores[order]
     classes_s = classes[order]
 
-    nms_boxes = boxes_s
+    iou = pairwise_iou_corners(boxes_s, boxes_s)
     if class_aware:
-        nms_boxes = boxes_s + (
-            classes_s.astype(boxes.dtype)[:, None] * CLASS_OFFSET
-        )
-    iou = pairwise_iou_corners(nms_boxes, nms_boxes)
+        same_class = classes_s[:, None] == classes_s[None, :]
+        iou = iou * same_class.astype(iou.dtype)
 
     if mode == "soft":
         new_scores = _soft_nms_scores(iou, scores_s, soft_sigma)

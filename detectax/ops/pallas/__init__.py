@@ -1,3 +1,8 @@
 from detectax.ops.pallas.focal import focal_loss_pallas  # noqa: F401
 from detectax.ops.pallas.nms_kernel import suppression_mask_pallas  # noqa: F401
-from detectax.ops.pallas.peak_decode import peak_scores_pallas  # noqa: F401
+from detectax.ops.pallas.peak_decode import (  # noqa: F401
+    peak_mask_scores_pallas,
+    peak_mask_scores_reference,
+    peak_scores_pallas,
+    peak_scores_reference,
+)

@@ -7,6 +7,7 @@ neighborhood (the standard maxpool-equals trick).
 """
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -16,9 +17,9 @@ from jax.experimental.pallas import tpu as pltpu
 from detectax.ops.pallas._common import on_tpu
 
 
-def _peak_kernel(logits_ref, out_ref):
+def _peak_kernel(logits_ref, out_ref, *, apply_sigmoid: bool = True):
     x = logits_ref[0]  # [H, W] one class plane
-    p = 1.0 / (1.0 + jnp.exp(-x))
+    p = 1.0 / (1.0 + jnp.exp(-x)) if apply_sigmoid else x
     h, w = p.shape
     neg = jnp.float32(-1.0)
 
@@ -46,17 +47,15 @@ def _peak_kernel(logits_ref, out_ref):
     out_ref[0] = jnp.where(p >= neighborhood_max, p, 0.0)
 
 
-def peak_scores_pallas(
-    logits: jnp.ndarray, interpret: bool | None = None
+def _peak_call(
+    planes_in: jnp.ndarray, apply_sigmoid: bool, interpret: bool | None
 ) -> jnp.ndarray:
-    """[H, W, C] class logits -> [H, W, C] sigmoid scores masked to local
-    3x3 peaks (zeros elsewhere)."""
     if interpret is None:
         interpret = not on_tpu()
-    h, w, c = logits.shape
-    planes = jnp.moveaxis(logits.astype(jnp.float32), -1, 0)  # [C, H, W]
+    h, w, c = planes_in.shape
+    planes = jnp.moveaxis(planes_in.astype(jnp.float32), -1, 0)  # [C, H, W]
     out = pl.pallas_call(
-        _peak_kernel,
+        functools.partial(_peak_kernel, apply_sigmoid=apply_sigmoid),
         grid=(c,),
         in_specs=[
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
@@ -71,9 +70,23 @@ def peak_scores_pallas(
     return jnp.moveaxis(out, 0, -1)
 
 
-def peak_scores_reference(logits: jnp.ndarray) -> jnp.ndarray:
-    """Pure-jnp reference for tests / non-TPU fallback."""
-    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+def peak_scores_pallas(
+    logits: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """[H, W, C] class logits -> [H, W, C] sigmoid scores masked to local
+    3x3 peaks (zeros elsewhere)."""
+    return _peak_call(logits, apply_sigmoid=True, interpret=interpret)
+
+
+def peak_mask_scores_pallas(
+    scores: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """[H, W, C] pre-computed probabilities (e.g. sigma(cls)*sigma(cen)) ->
+    same maps masked to 3x3 local peaks. Same kernel, sigmoid skipped."""
+    return _peak_call(scores, apply_sigmoid=False, interpret=interpret)
+
+
+def _mask_to_peaks(p: jnp.ndarray) -> jnp.ndarray:
     padded = jnp.pad(
         p, ((1, 1), (1, 1), (0, 0)), constant_values=-1.0
     )
@@ -84,3 +97,13 @@ def peak_scores_reference(logits: jnp.ndarray) -> jnp.ndarray:
     ])
     nmax = jnp.max(neigh, axis=0)
     return jnp.where(p >= nmax, p, 0.0)
+
+
+def peak_scores_reference(logits: jnp.ndarray) -> jnp.ndarray:
+    """Pure-jnp reference for tests / non-TPU fallback."""
+    return _mask_to_peaks(jax.nn.sigmoid(logits.astype(jnp.float32)))
+
+
+def peak_mask_scores_reference(scores: jnp.ndarray) -> jnp.ndarray:
+    """Pure-jnp twin of `peak_mask_scores_pallas`."""
+    return _mask_to_peaks(scores.astype(jnp.float32))

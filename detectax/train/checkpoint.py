@@ -54,5 +54,24 @@ class CheckpointManager:
         )
         return state, step
 
+    def restore_params(self, template: Any) -> tuple[Any, int] | None:
+        """Restore only ``params``/``batch_stats`` (+step) into the template.
+
+        For inference: ignores optimizer state entirely, so checkpoints are
+        loadable regardless of which optimizer trained them (SGD vs Adam
+        opt_state pytrees differ).
+        """
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        # raw restore (no template): returns the checkpoint as saved, with
+        # whatever opt_state pytree the trainer used; we keep only params +
+        # batch_stats.
+        restored = self._mgr.restore(step)
+        state = template.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        return state, step
+
     def close(self):
         self._mgr.close()

@@ -33,6 +33,7 @@ class TrainConfig:
     canvas: int = 384
     max_boxes: int = 64
     jitter: tuple[float, float] | None = None
+    jitter_per_batch: bool = False
     pad_position: str = "topleft"
     augment: str = "none"
     normalize: str = "tf"
@@ -75,6 +76,7 @@ def build_loader(cfg: TrainConfig, dataset):
         pad_position=cfg.pad_position,
         augment=cfg.augment,
         jitter=cfg.jitter,
+        jitter_per_batch=cfg.jitter_per_batch,
         normalize=cfg.normalize,
         emit_uint8=cfg.device_normalize,
         seed=cfg.seed,
@@ -252,7 +254,11 @@ def fit(
 
 
 def restore_for_inference(cfg_ckpt_dir: str, model, canvas: int, optimizer=None):
-    """Build a state template and restore the latest checkpoint for infer."""
+    """Build a state template and restore the latest checkpoint for infer.
+
+    Restores params/batch_stats only, so any trainer's checkpoint loads
+    regardless of the optimizer that produced it.
+    """
     opt = optimizer or make_optimizer(
         "sgd", make_schedule("constant", init_lr=1e-3)
     )
@@ -260,7 +266,7 @@ def restore_for_inference(cfg_ckpt_dir: str, model, canvas: int, optimizer=None)
         model, jax.random.PRNGKey(0), jnp.zeros((1, canvas, canvas, 3)), opt
     )
     ckpt = CheckpointManager(cfg_ckpt_dir)
-    restored = ckpt.restore_latest(template)
+    restored = ckpt.restore_params(template)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {cfg_ckpt_dir}")
     state, step = restored

@@ -288,3 +288,33 @@ def test_empty_gt_produces_zero_maps():
     for o in outs:
         assert float(jnp.abs(o).sum()) == 0.0
     assert int(np.asarray(counts).sum()) == 0
+
+
+def test_has_anchor_targets_np_matches_device_assignment():
+    """Host predicate agrees with the on-device anchor matcher about
+    whether any positive exists (reference skip-zero-target composition,
+    train_retinanet_coco.py:198-205)."""
+    rng = np.random.default_rng(3)
+    anchors = A.anchor_shapes_per_level(anchor_sizes=[20, 40, 80, 160, 320])
+    canvas = (256, 256)
+    for trial in range(12):
+        n = int(rng.integers(0, 4))
+        yxhw, xyxy = [], []
+        for _ in range(n):
+            h = rng.uniform(0.01, 0.6)
+            w = rng.uniform(0.01, 0.6)
+            y = rng.uniform(h / 2, 1 - h / 2)
+            x = rng.uniform(w / 2, 1 - w / 2)
+            yxhw.append([y, x, h, w])
+            xyxy.append([x - w / 2, y - h / 2, x + w / 2, y + h / 2])
+        gt, lb, vd = _pad_gt(yxhw, [0] * n)
+        _, count = assign.retinanet_assign(
+            gt, lb, vd, img_dim=canvas, num_classes=2,
+            anchors_per_level=anchors,
+        )
+        want = int(np.asarray(count)) > 0
+        got = A.has_anchor_targets_np(
+            np.asarray(xyxy, np.float32), canvas,
+            anchor_sizes=[20, 40, 80, 160, 320],
+        )
+        assert got == want, (trial, xyxy)

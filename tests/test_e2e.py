@@ -124,3 +124,55 @@ def test_train_centernet_heatmap_cli_smoke(tmp_path):
 
     summary = train_centernet_heatmap.main(_common_args(tmp_path))
     _check_artifacts(tmp_path, summary)
+
+
+def test_evaluate_cli_centernet_heatmap(tmp_path):
+    from detectax.cli import evaluate, train_centernet_heatmap
+
+    train_centernet_heatmap.main(_common_args(tmp_path))
+    summary = evaluate.main([
+        "--family", "centernet_heatmap",
+        "--backbone", "tiny",
+        "--canvas", "64",
+        "--batch_size", "8",
+        "--synthetic_n", "16",
+        "--max_boxes", "8",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+    ])
+    assert "mAP@0.5" in summary
+    assert summary["num_images"] == 16
+
+
+def test_evaluate_cli_hourglass(tmp_path):
+    from detectax.cli import evaluate
+
+    train_hourglass_voc.main(_common_args(tmp_path) + ["--n_filters", "2"])
+    summary = evaluate.main([
+        "--family", "hourglass",
+        "--n_filters", "2",
+        "--canvas", "64",
+        "--batch_size", "8",
+        "--synthetic_n", "16",
+        "--max_boxes", "8",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+    ])
+    assert "mAP@0.5" in summary
+    assert summary["num_images"] == 16
+
+
+def test_train_crowdhuman_use_scale_smoke(tmp_path):
+    from detectax.cli import train_centernet_crowdhuman
+
+    summary = train_centernet_crowdhuman.main(
+        _common_args(tmp_path)
+        + ["--use_scale", "--min_scale", "0.7", "--base_dims", "56"]
+    )
+    _check_artifacts(tmp_path, summary)
+
+
+def test_train_retinanet_skip_zero_target_smoke(tmp_path):
+    summary = train_retinanet_coco.main(
+        _common_args(tmp_path)
+        + ["--anchor_sizes", "8", "16", "24", "32", "48"]
+    )
+    _check_artifacts(tmp_path, summary)

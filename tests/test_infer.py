@@ -141,3 +141,48 @@ def test_visualize_outputs_files(tmp_path):
     )
     assert os.path.getsize(f1) > 1000
     assert os.path.getsize(f2) > 1000
+
+
+def test_centernet_heatmap_decode_peaks():
+    """Peak mask keeps only 3x3 local maxima; boxes decode ltrb at s8."""
+    h = w = 16
+    c = NC + 1  # objectness slot at 0
+    out = np.full((1, h, w, 5 + c), -8.0, np.float32)
+    # a clear peak for class 2 (real class 1 after slot drop) at cell (4, 5)
+    out[0, 3:6, 4:7, 5 + 2] = _logit(0.6)
+    out[0, 4, 5, 5 + 2] = _logit(0.9)
+    out[0, 4, 5, 4] = _logit(0.9)   # centerness
+    out[0, 4, 5, :4] = [2.0, 2.0, 3.0, 3.0]  # t,b,l,r in stride units
+    boxes, probs = P.centernet_heatmap_decode(jnp.asarray(out))
+    assert boxes.shape == (1, h * w, 4)
+    assert probs.shape == (1, h * w, NC)
+    pr = np.asarray(probs)[0].reshape(h, w, NC)
+    # only the peak cell survives for class 1; neighbors masked to 0
+    assert pr[4, 5, 1] > 0.5
+    assert pr[3, 5, 1] == 0.0 and pr[4, 6, 1] == 0.0
+    bx = np.asarray(boxes)[0].reshape(h, w, 4)
+    # cell center (4.5, 5.5) * 8, minus/plus ltrb * 8
+    np.testing.assert_allclose(
+        bx[4, 5], [(4.5 - 2) * 8, (5.5 - 3) * 8, (4.5 + 2) * 8, (5.5 + 3) * 8]
+    )
+    # fed through the standard NMS path it yields exactly one detection
+    dets = P.detections_from_dense(boxes, probs, score_thresh=0.3,
+                                   max_outputs=8, top_k=64)
+    assert int(dets["num_valid"][0]) == 1
+    assert int(dets["classes"][0][0]) == 1
+
+
+def test_detections_class_aware_candidates():
+    """One box scoring high under two classes surfaces twice (TF
+    combined-NMS semantics) only with class_aware_candidates=True."""
+    boxes = jnp.asarray([[[10.0, 10.0, 50.0, 50.0]]])  # [1,1,4]
+    probs = jnp.asarray([[[0.9, 0.8, 0.01, 0.01]]])    # [1,1,4]
+    d_max = P.detections_from_dense(boxes, probs, top_k=4, max_outputs=4,
+                                    score_thresh=0.1)
+    assert int(d_max["num_valid"][0]) == 1
+    d_all = P.detections_from_dense(boxes, probs, top_k=4, max_outputs=4,
+                                    score_thresh=0.1,
+                                    class_aware_candidates=True)
+    assert int(d_all["num_valid"][0]) == 2
+    kept = np.asarray(d_all["classes"][0][: 2])
+    assert set(kept.tolist()) == {0, 1}

@@ -138,3 +138,22 @@ def test_num_valid_clamped_to_max_outputs(rng):
     )
     assert int(out["num_valid"]) == 10
     assert bool(np.all(np.asarray(out["valid"])))
+
+
+def test_class_aware_exact_at_high_class_ids():
+    """Cross-class masking is exact (the old class-offset-coordinate trick
+    quantized small boxes at COCO-scale class ids, ADVICE r1)."""
+    # two tiny, heavily overlapping boxes, same high class id -> suppress
+    boxes = jnp.asarray(
+        [[100.0, 100.0, 101.5, 101.5], [100.2, 100.2, 101.7, 101.7],
+         [100.2, 100.2, 101.7, 101.7]], dtype=jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    classes = jnp.asarray([79, 79, 78], dtype=jnp.int32)
+    out = N.nms(boxes, scores, classes, iou_thresh=0.3, class_aware=True,
+                max_outputs=4)
+    assert int(out["num_valid"]) == 2  # same-class dup gone, class-78 kept
+    kept = np.asarray(out["classes"])[np.asarray(out["valid"])]
+    assert set(kept.tolist()) == {79, 78}
+    # kept boxes are bit-exact (no coordinate shifting round trip)
+    np.testing.assert_array_equal(
+        np.asarray(out["boxes"])[0], np.asarray(boxes)[0])

@@ -139,3 +139,88 @@ def test_loader_multiscale_buckets():
     )
     shapes = {b["images"].shape[1] for b in loader}
     assert shapes == {64, 128}
+
+
+def test_loader_partial_batch_padding():
+    from detectax.data.pipeline import Loader
+    from detectax.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n=10, img_size=32)
+    loader = Loader(ds, batch_size=4, canvas=32, max_boxes=8, flip=False,
+                    shuffle=False, prefetch=0, drop_remainder=False)
+    batches = list(loader)
+    assert len(batches) == 3  # 4 + 4 + padded 2
+    assert all(b["images"].shape[0] == 4 for b in batches)
+    ev = [b["example_valid"] for b in batches]
+    assert ev[0].all() and ev[1].all()
+    np.testing.assert_array_equal(ev[2], [True, True, False, False])
+    # padded rows repeat the last real example
+    np.testing.assert_array_equal(
+        batches[2]["images"][1], batches[2]["images"][2])
+
+
+def test_loader_drop_remainder_default():
+    from detectax.data.pipeline import Loader
+    from detectax.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n=10, img_size=32)
+    loader = Loader(ds, batch_size=4, canvas=32, max_boxes=8, flip=False,
+                    shuffle=False, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert all("example_valid" not in b for b in batches)
+
+
+def test_native_decode_failure_falls_back_to_pil(tmp_path, monkeypatch):
+    from PIL import Image as PILImage
+
+    from detectax.data import native_loader as nl
+    from detectax.data.pipeline import Loader
+
+    path = str(tmp_path / "img.jpg")
+    PILImage.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (40, 60, 3)))
+        .astype(np.uint8)
+    ).save(path)
+    ds = [{
+        "image_path": path,
+        "boxes_xyxy": np.asarray([[0.1, 0.1, 0.5, 0.5]], np.float32),
+        "labels": np.asarray([0], np.int32),
+    }]
+
+    def boom(*a, **k):
+        raise IOError("simulated CMYK decode failure")
+
+    monkeypatch.setattr(nl, "image_info", boom)
+    monkeypatch.setattr(nl, "decode_resize", boom)
+    loader = Loader(ds, batch_size=1, canvas=32, max_boxes=4, flip=False,
+                    shuffle=False, prefetch=0, native=True)
+    batch = next(iter(loader))
+    assert batch["images"].shape == (1, 32, 32, 3)
+    assert batch["valid"][0, 0]
+
+
+def test_jitter_per_batch_shared_content_scale():
+    """stretch + per-batch jitter: all images in a batch share one square
+    content size (reference CrowdHuman per-step random scale,
+    train_centernet_crowdhuman.py:52-62), center-padded to the canvas."""
+    from detectax.data.pipeline import Loader
+    from detectax.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n=8, img_size=48)
+    loader = Loader(ds, batch_size=4, canvas=64, max_boxes=8, flip=False,
+                    shuffle=False, prefetch=0, mode="stretch",
+                    pad_position="center", jitter=(32.0, 64.0),
+                    jitter_per_batch=True, steps=4, normalize="none")
+    sides = []
+    for batch in loader:
+        imgs = batch["images"]
+        # content occupies a centered square; find its side from nonzero rows
+        per_img_sides = []
+        for im in imgs:
+            nz = np.where(np.abs(im).sum(axis=(1, 2)) > 0)[0]
+            per_img_sides.append(nz[-1] - nz[0] + 1 if len(nz) else 0)
+        assert len(set(per_img_sides)) == 1  # shared within batch
+        sides.append(per_img_sides[0])
+    assert len(set(sides)) > 1  # varies across batches
+    assert all(32 <= s <= 64 for s in sides)
