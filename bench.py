@@ -1,9 +1,15 @@
-"""detectax benchmark — prints ONE JSON line for the driver.
+"""detectax benchmark — prints one JSON line per metric for the driver.
 
-Headline metric: training throughput (images/sec/chip) of the flagship
+Line 1 (headline): training throughput (images/sec/chip) of the flagship
 config — FCOS ResNet-50 @ 384px, batch 16, bf16 compute — the reference's
 `FCOS/train_fcos.py` configuration. The full jitted step includes on-device
-target assignment, forward, loss, backward, clip, and SGD update.
+target assignment, forward, loss, backward, clip, and SGD update. Includes
+`mfu_pct`: XLA's cost-analysis FLOPs for the compiled step divided by the
+measured step time and the TPU v5e bf16 peak (197 TFLOP/s; the often-quoted
+394 figure is the int8 peak).
+
+Line 2: single-image inference decode+NMS latency (FCOS 5-level decode,
+top-1024 select, class-aware NMS @ 512px) — the BASELINE.md "<10 ms" target.
 
 `vs_baseline` compares against the measured reference-semantics baseline:
 the TF2/Keras eager per-image GradientTape loop (ResNet-50 FPN, 384px, CPU)
@@ -33,9 +39,30 @@ except Exception:
 
 # Measured reference-equivalent CPU throughput (BASELINE.md).
 CPU_REFERENCE_IMG_PER_SEC = 0.129
+# TPU v5e single-chip peak, bf16 MXU.
+PEAK_BF16_FLOPS = 197e12
 
 
-def main():
+def _force(x) -> float:
+    """Fetch one value to the host — the only reliable completion barrier
+    through the axon relay (CLAUDE.md: block_until_ready doesn't wait)."""
+    return float(jnp.ravel(x)[0])
+
+
+def _step_flops(step_fn, state, batch_data) -> float | None:
+    """XLA cost-analysis FLOPs for the compiled train step (fwd+bwd+update)."""
+    try:
+        lower = getattr(step_fn, "lower", None) or jax.jit(step_fn).lower
+        compiled = lower(state, batch_data).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def bench_train():
     img = int(os.environ.get("BENCH_IMG", "384"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
@@ -81,34 +108,96 @@ def main():
         "valid": jnp.ones((batch, 16), bool),
     }
 
+    flops = _step_flops(step, state, batch_data)
+
     # warmup: compile + 3 steps, forcing full materialization each time
     for _ in range(3):
         state, metrics = step(state, batch_data)
         _ = float(metrics["total"])
-        jax.block_until_ready(state.params)
+        _ = _force(jax.tree_util.tree_leaves(state.params)[0])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch_data)
-    # force completion of the full chain incl. the optimizer update
-    jax.block_until_ready(state.params)
-    total = float(metrics["total"])
+    # completion barrier: fetch a value from the *updated params* so the
+    # final optimizer update is inside the timed window (block_until_ready
+    # does not wait through the relay)
+    _ = _force(jax.tree_util.tree_leaves(state.params)[0])
     dt = time.perf_counter() - t0
+    total = float(metrics["total"])
 
     rate = steps * batch / dt
+    sec_per_step = dt / steps
+    detail = {
+        "steps": steps,
+        "sec_per_step": round(sec_per_step, 5),
+        "final_loss": round(total, 3),
+        "device": str(jax.devices()[0]),
+    }
+    if flops is not None:
+        detail["step_tflops"] = round(flops / 1e12, 3)
+        detail["mfu_pct"] = round(
+            100.0 * flops / sec_per_step / PEAK_BF16_FLOPS, 1
+        )
     result = {
         "metric": f"train_images_per_sec_fcos_{backbone}_{img}px_b{batch}_bf16",
         "value": round(rate, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / CPU_REFERENCE_IMG_PER_SEC, 1),
-        "detail": {
-            "steps": steps,
-            "sec_per_step": round(dt / steps, 5),
-            "final_loss": round(total, 3),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
+    }
+    if flops is not None:
+        result["mfu_pct"] = detail["mfu_pct"]
+    print(json.dumps(result))
+
+
+def bench_decode_nms():
+    """Single-image decode+NMS latency (BASELINE.md target <10 ms)."""
+    from detectax.infer import predict as P
+
+    img = 512
+    nc = 20
+    strides = (8, 16, 32, 64, 128)
+    rng = np.random.default_rng(1)
+    outs = [
+        jnp.asarray(rng.normal(
+            scale=2.0, size=(1, img // s, img // s, 5 + nc)
+        ).astype(np.float32))
+        for s in strides
+    ]
+
+    @jax.jit
+    def decode_and_nms(outs):
+        boxes, probs = P.fcos_decode(outs)
+        return P.detections_from_dense(
+            boxes, probs, top_k=1024, max_outputs=100, score_thresh=0.05
+        )
+
+    # warmup / compile
+    dets = decode_and_nms(outs)
+    _ = _force(dets["scores"])
+
+    iters = int(os.environ.get("BENCH_NMS_ITERS", "50"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dets = decode_and_nms(outs)
+    _ = _force(dets["scores"])
+    dt = (time.perf_counter() - t0) / iters
+
+    result = {
+        "metric": f"decode_nms_latency_fcos_{img}px_k1024",
+        "value": round(dt * 1000, 3),
+        "unit": "ms/image",
+        "vs_baseline": round(10.0 / (dt * 1000), 1),  # target <10 ms
+        "detail": {"iters": iters, "device": str(jax.devices()[0])},
     }
     print(json.dumps(result))
+
+
+def main():
+    bench_train()
+    if os.environ.get("BENCH_SKIP_NMS") != "1":
+        bench_decode_nms()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,166 @@
+"""DetBench v1 benchmark driver: train + evaluate every detector family.
+
+Runs each family's trainer CLI on the DetBench train split, then
+`detectax.cli.evaluate` on the committed eval split (256 images), and
+writes the per-family mAP table to `benchmarks/RESULTS_detbench_v1.json`.
+Each family runs as a subprocess so XLA state is isolated; the persistent
+compilation cache keeps repeat invocations cheap.
+
+Usage:  python benchmarks/run_detbench.py [--families fcos retinanet ...]
+        [--steps 3000] [--out benchmarks/RESULTS_detbench_v1.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Per-family training configs. Canvases/optimizers mirror the reference
+# trainer configs (SURVEY.md §2.2-2.4); steps/LR are sized for from-scratch
+# training on DetBench (the reference assumed ImageNet-pretrained
+# backbones, unavailable in this zero-egress image).
+FAMILIES = {
+    "fcos": {
+        "train": "detectax.cli.train_fcos",
+        "args": ["--canvas", "384", "--init_lr", "5e-4",
+                 "--decay_steps", "2000"],
+    },
+    "fcos_center": {
+        "train": "detectax.cli.train_fcos_center_voc",
+        "args": ["--canvas", "384"],
+    },
+    "fcos_center_v1": {
+        "train": "detectax.cli.train_fcos_center_v1_voc",
+        "args": ["--canvas", "384", "--init_lr", "0.005"],
+    },
+    "centernet_s8": {
+        "train": "detectax.cli.train_centernet_crowdhuman",
+        "args": ["--canvas", "512", "--init_lr", "0.005",
+                 "--lr_boundaries", "2000", "2500"],
+    },
+    "centernet_heatmap": {
+        "train": "detectax.cli.train_centernet_heatmap",
+        "args": ["--canvas", "384"],
+    },
+    "hourglass": {
+        "train": "detectax.cli.train_hourglass_voc",
+        "args": ["--canvas", "320", "--batch_size", "32",
+                 "--n_filters", "12", "--steps_per_epoch", "1000"],
+        "eval_extra": ["--n_filters", "12"],
+    },
+    "retinanet": {
+        "train": "detectax.cli.train_retinanet_coco",
+        "args": ["--canvas", "512", "--init_lr", "0.005",
+                 "--lr_boundaries", "2000"],
+    },
+}
+
+
+def run(cmd, log_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/detectax_tpu_cache"
+    )
+    with open(log_path, "a") as log:
+        log.write("\n$ " + " ".join(cmd) + "\n")
+        log.flush()
+        return subprocess.run(
+            cmd, cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT
+        ).returncode
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--families", nargs="+", default=list(FAMILIES))
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--run_root", default=os.path.join(REPO, "benchmarks", "runs"))
+    p.add_argument("--out", default=os.path.join(
+        REPO, "benchmarks", "RESULTS_detbench_v1.json"))
+    args = p.parse_args(argv)
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for fam in args.families:
+        cfg = FAMILIES[fam]
+        fam_dir = os.path.join(args.run_root, fam)
+        os.makedirs(fam_dir, exist_ok=True)
+        log_path = os.path.join(fam_dir, "log.txt")
+        ckpt_dir = os.path.join(fam_dir, "ckpt")
+        t0 = time.time()
+        train_cmd = [
+            sys.executable, "-u", "-m", cfg["train"],
+            "--dataset", "detbench",
+            "--max_steps", str(args.steps),
+            "--backbone", args.backbone,
+            "--ckpt_dir", ckpt_dir,
+            "--out_dir", os.path.join(fam_dir, "out"),
+            "--display_step", "100",
+            "--step_save", "1000",
+            *cfg["args"],
+        ]
+        if "--batch_size" not in cfg["args"]:
+            train_cmd += ["--batch_size", str(args.batch_size)]
+        if args.bf16:
+            train_cmd.append("--bf16")
+        # hourglass has no --backbone-driven architecture; flag is ignored
+        print(f"[{fam}] training {args.steps} steps ...", flush=True)
+        rc = run(train_cmd, log_path)
+        train_min = (time.time() - t0) / 60
+        if rc != 0:
+            print(f"[{fam}] TRAIN FAILED rc={rc} (see {log_path})",
+                  flush=True)
+            results[fam] = {"error": f"train rc={rc}"}
+            _write(args.out, results)
+            continue
+
+        eval_json = os.path.join(fam_dir, "eval.json")
+        eval_cmd = [
+            sys.executable, "-u", "-m", "detectax.cli.evaluate",
+            "--family", fam,
+            "--dataset", "detbench",
+            "--backbone", args.backbone,
+            "--ckpt_dir", ckpt_dir,
+            "--coco_metrics",
+            "--out_json", eval_json,
+            *cfg.get("eval_extra", []),
+        ]
+        print(f"[{fam}] evaluating ...", flush=True)
+        rc = run(eval_cmd, log_path)
+        if rc != 0 or not os.path.exists(eval_json):
+            print(f"[{fam}] EVAL FAILED rc={rc} (see {log_path})", flush=True)
+            results[fam] = {"error": f"eval rc={rc}", "train_min": train_min}
+            _write(args.out, results)
+            continue
+        with open(eval_json) as f:
+            summary = json.load(f)
+        summary["train_steps"] = args.steps
+        summary["train_min"] = round(train_min, 1)
+        summary["backbone"] = args.backbone
+        results[fam] = summary
+        print(f"[{fam}] mAP@0.5={summary.get('mAP@0.5'):.4f} "
+              f"({train_min:.1f} min train)", flush=True)
+        _write(args.out, results)
+
+    print(json.dumps(results, indent=2))
+
+
+def _write(path, results):
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,11 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     d = lambda k, v: defaults.get(k, v)
     p.add_argument("--index", default=d("index", None),
                    help="dataset index json (default: synthetic dataset)")
+    p.add_argument("--dataset", choices=("synthetic", "detbench"),
+                   default=d("dataset", "synthetic"),
+                   help="built-in dataset when --index is not given: "
+                        "'synthetic' (smoke) or 'detbench' (standardized "
+                        "benchmark, benchmarks/detbench_v1.json)")
     p.add_argument("--synthetic_n", type=int, default=d("synthetic_n", 128),
                    help="synthetic dataset size when --index is not given")
     p.add_argument("--batch_size", type=int, default=d("batch_size", 16))
@@ -29,6 +34,10 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     p.add_argument("--seed", type=int, default=d("seed", 0))
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/loss)")
+    p.add_argument("--init_backbone", default=d("init_backbone", None),
+                   help="msgpack of ported backbone weights "
+                        "(tools/port_tf_weights) to initialize from — the "
+                        "reference's pretrained-backbone workflow")
     p.add_argument("--freeze_bn", action="store_true",
                    help="freeze backbone BatchNorm statistics during "
                         "training (~1.4x faster step; best with ported "
@@ -41,11 +50,15 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     return p
 
 
-def dataset_from_args(args):
+def dataset_from_args(args, split: str = "train"):
     if args.index:
         from detectax.data.index import IndexDataset
 
         return IndexDataset(args.index)
+    if getattr(args, "dataset", "synthetic") == "detbench":
+        from detectax.data.detbench import DetBenchDataset
+
+        return DetBenchDataset(split)  # sizes come from the committed spec
     from detectax.data.synthetic import SyntheticDataset
 
     return SyntheticDataset(n=args.synthetic_n, img_size=args.canvas)
@@ -70,6 +83,7 @@ def config_from_args(args, **overrides) -> TrainConfig:
             tuple(args.profile_steps) if args.profile_steps else None
         ),
         debug_nans=args.debug_nans,
+        init_backbone=args.init_backbone,
     )
     for k, v in overrides.items():
         setattr(cfg, k, v)

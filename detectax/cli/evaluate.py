@@ -91,6 +91,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--family", choices=FAMILIES, default="fcos")
     p.add_argument("--index", default=None)
+    p.add_argument("--dataset", choices=("synthetic", "detbench"),
+                   default="synthetic",
+                   help="'detbench' evaluates on the committed eval split "
+                        "(benchmarks/detbench_v1.json)")
     p.add_argument("--synthetic_n", type=int, default=64)
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--ckpt_dir", default="ckpt")
@@ -130,7 +134,7 @@ def main(argv=None):
     if args.canvas is None:
         args.canvas = geo_canvas
 
-    dataset = dataset_from_args(args)
+    dataset = dataset_from_args(args, split="eval")
     nc = dataset.num_classes
     model, decode = build_family(args.family, nc, args.backbone,
                                  args.canvas, args)
@@ -149,16 +153,27 @@ def main(argv=None):
         else MeanAPEvaluator(nc)
     )
     canvas = args.canvas
-    for batch in loader:
+
+    import jax
+
+    @jax.jit
+    def forward_decode_nms(params, batch_stats, images):
+        # one compiled graph: forward + decode + top-k + NMS (op-by-op
+        # eager dispatch is pathological through a remote TPU backend)
         outs = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            jnp.asarray(batch["images"]), train=False,
+            {"params": params, "batch_stats": batch_stats},
+            images, train=False,
         )
         boxes, probs = decode(outs)
-        dets = P.detections_from_dense(
+        return P.detections_from_dense(
             boxes, probs, iou_thresh=args.iou_thresh,
             score_thresh=args.cls_thresh, max_outputs=args.max_outputs,
             class_aware_candidates=args.class_aware_candidates,
+        )
+
+    for batch in loader:
+        dets = forward_decode_nms(
+            state.params, state.batch_stats, jnp.asarray(batch["images"])
         )
         det_boxes = np.asarray(dets["boxes"])
         det_scores = np.asarray(dets["scores"])

@@ -118,6 +118,7 @@ class InvertedResidual(nn.Module):
     features: int
     stride: int = 1
     expand: int = 6
+    bn_eps: float = 1e-3  # Keras MobileNetV2 convention (weight-portable)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -125,7 +126,8 @@ class InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         h = x
         if self.expand != 1:
-            h = ConvBN(in_ch * self.expand, kernel=1, dtype=self.dtype,
+            h = ConvBN(in_ch * self.expand, kernel=1, act="relu6",
+                       bn_eps=self.bn_eps, dtype=self.dtype,
                        name="expand")(h, train)
         h = nn.Conv(
             h.shape[-1], (3, 3), strides=(self.stride, self.stride),
@@ -133,12 +135,12 @@ class InvertedResidual(nn.Module):
             dtype=self.dtype, name="depthwise",
         )(h)
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            use_running_average=not train, momentum=0.9,
+            epsilon=self.bn_eps, dtype=self.dtype,
         )(h)
         h = nn.relu6(h)
-        h = ConvBN(self.features, kernel=1, act=False, dtype=self.dtype,
-                   name="project")(h, train)
+        h = ConvBN(self.features, kernel=1, act=False, bn_eps=self.bn_eps,
+                   dtype=self.dtype, name="project")(h, train)
         if self.stride == 1 and in_ch == self.features:
             h = h + x
         return h
@@ -163,6 +165,7 @@ class MobileNetV2(nn.Module):
     `FCOS/fcos.py:40-41`."""
 
     width_mult: float = 1.0
+    bn_eps: float = 1e-3  # Keras MobileNetV2 convention (weight-portable)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -170,7 +173,8 @@ class MobileNetV2(nn.Module):
         def c(ch):
             return max(8, int(ch * self.width_mult + 4) // 8 * 8)
 
-        h = ConvBN(c(32), kernel=3, stride=2, dtype=self.dtype,
+        h = ConvBN(c(32), kernel=3, stride=2, act="relu6",
+                   bn_eps=self.bn_eps, dtype=self.dtype,
                    name="stem")(x, train)
         taps = {}
         current_stride = 2
@@ -179,16 +183,15 @@ class MobileNetV2(nn.Module):
                 stride = s0 if r == 0 else 1
                 current_stride *= stride
                 h = InvertedResidual(
-                    c(ch), stride=stride, expand=exp, dtype=self.dtype,
-                    name=f"group{gi}_block{r}",
+                    c(ch), stride=stride, expand=exp, bn_eps=self.bn_eps,
+                    dtype=self.dtype, name=f"group{gi}_block{r}",
                 )(h, train)
             if gi == 2:
                 taps["c3"] = h  # stride 8
             elif gi == 4:
                 taps["c4"] = h  # stride 16
-        h = ConvBN(c(1280), kernel=1, dtype=self.dtype, name="head_conv")(
-            h, train
-        )
+        h = ConvBN(c(1280), kernel=1, act="relu6", bn_eps=self.bn_eps,
+                   dtype=self.dtype, name="head_conv")(h, train)
         taps["c5"] = h  # stride 32
         return taps
 

@@ -84,7 +84,7 @@ class ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     use_bias: bool = False
-    act: bool = True
+    act: Any = True  # True/"relu" | "relu6" (MobileNetV2) | False
     groups: int = 1
     padding: Any = "SAME"
     bn_eps: float = 1e-5
@@ -105,7 +105,9 @@ class ConvBN(nn.Module):
             use_running_average=not train, momentum=0.9,
             epsilon=self.bn_eps, dtype=self.dtype,
         )(x)
-        if self.act:
+        if self.act == "relu6":
+            x = nn.relu6(x)
+        elif self.act:
             x = nn.relu(x)
         return x
 

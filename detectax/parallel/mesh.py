@@ -24,9 +24,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_initialize_distributed():
-    """Initialize jax.distributed when launched multi-host (no-op solo)."""
+    """Initialize jax.distributed when launched multi-host (no-op solo,
+    no-op if the launcher already initialized it)."""
     if int(os.environ.get("DETECTAX_NUM_PROCESSES", "1")) > 1:
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized by the launcher
 
 
 def make_mesh(
@@ -108,5 +112,19 @@ def make_sharded_train_step(
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh, batch axis over "data"."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host batch dict onto the mesh, batch axis over "data".
+
+    Single-process: a plain device_put. Multi-process: each process holds
+    only its own loader shard, so the global array is assembled from
+    process-local data (the DCN data path — host batches never cross
+    hosts; only gradient all-reduces do).
+    """
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
+    return jax.device_put(batch, sh)

@@ -87,6 +87,81 @@ def port_resnet(keras_model, arch: str = "resnet50"):
     return {"params": params, "batch_stats": stats}
 
 
+def _conv_bn_nobias(keras_model, conv_name, bn_name, depthwise=False):
+    """Keras no-bias conv (+BN) -> our ConvBN / depthwise Conv params."""
+    conv = keras_model.get_layer(conv_name)
+    bn = keras_model.get_layer(bn_name)
+    (kernel,) = conv.get_weights()
+    if depthwise:
+        # Keras DepthwiseConv2D kernel is (kh, kw, C, 1); flax grouped
+        # Conv with feature_group_count=C expects (kh, kw, 1, C)
+        kernel = np.transpose(kernel, (0, 1, 3, 2))
+    gamma, beta, mean, var = bn.get_weights()
+    params = {"kernel": np.asarray(kernel, np.float32)}
+    bn_params = {
+        "scale": np.asarray(gamma, np.float32),
+        "bias": np.asarray(beta, np.float32),
+    }
+    bn_stats = {
+        "mean": np.asarray(mean, np.float32),
+        "var": np.asarray(var, np.float32),
+    }
+    return params, bn_params, bn_stats
+
+
+MBV2_GROUPS = ((1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1))
+
+
+def port_mobilenetv2(keras_model):
+    """Return ``{"params", "batch_stats"}`` for
+    `detectax.models.backbones.MobileNetV2` (default bn_eps=1e-3 matches
+    Keras) from ``tf.keras.applications.MobileNetV2`` — the reference's
+    FCOS inference backbone (`FCOS/infer_fcos.py:126-150`,
+    `FCOS/fcos.py:37-41`)."""
+
+    def convbn(conv_name, bn_name):
+        p, bnp, bns = _conv_bn_nobias(keras_model, conv_name, bn_name)
+        return (
+            {"Conv_0": p, "BatchNorm_0": bnp},
+            {"BatchNorm_0": bns},
+        )
+
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = convbn("Conv1", "bn_Conv1")
+
+    kblock = 0
+    for gi, (_exp, reps) in enumerate(MBV2_GROUPS):
+        for r in range(reps):
+            prefix = (
+                "expanded_conv" if kblock == 0 else f"block_{kblock}"
+            )
+            bp: dict = {}
+            bs: dict = {}
+            if kblock != 0:
+                bp["expand"], ex_s = convbn(
+                    f"{prefix}_expand", f"{prefix}_expand_BN"
+                )
+                bs["expand"] = ex_s
+            dw_p, dw_bnp, dw_bns = _conv_bn_nobias(
+                keras_model, f"{prefix}_depthwise",
+                f"{prefix}_depthwise_BN", depthwise=True,
+            )
+            bp["depthwise"] = dw_p
+            bp["BatchNorm_0"] = dw_bnp
+            bs["BatchNorm_0"] = dw_bns
+            bp["project"], pr_s = convbn(
+                f"{prefix}_project", f"{prefix}_project_BN"
+            )
+            bs["project"] = pr_s
+            params[f"group{gi}_block{r}"] = bp
+            stats[f"group{gi}_block{r}"] = bs
+            kblock += 1
+
+    params["head_conv"], stats["head_conv"] = convbn("Conv_1", "Conv_1_bn")
+    return {"params": params, "batch_stats": stats}
+
+
 def save_ported(variables: dict, path: str):
     from flax import serialization
 
@@ -103,7 +178,9 @@ def load_ported(path: str, template: dict):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--arch", choices=sorted(STAGE_SIZES), default="resnet50")
+    p.add_argument("--arch",
+                   choices=sorted(STAGE_SIZES) + ["mobilenetv2"],
+                   default="resnet50")
     p.add_argument("--weights", required=True,
                    help="Keras .h5/.keras weights path, or 'imagenet'")
     p.add_argument("--output", required=True, help="output .msgpack path")
@@ -115,13 +192,17 @@ def main(argv=None):
         "resnet50": tf.keras.applications.ResNet50,
         "resnet101": tf.keras.applications.ResNet101,
         "resnet152": tf.keras.applications.ResNet152,
+        "mobilenetv2": tf.keras.applications.MobileNetV2,
     }[args.arch]
     weights = args.weights if args.weights == "imagenet" else None
     model = ctor(include_top=False, weights=weights,
                  input_shape=[None, None, 3])
     if weights is None:
         model.load_weights(args.weights)
-    variables = port_resnet(model, args.arch)
+    if args.arch == "mobilenetv2":
+        variables = port_mobilenetv2(model)
+    else:
+        variables = port_resnet(model, args.arch)
     save_ported(variables, args.output)
     print(f"ported {args.arch} -> {args.output}")
 

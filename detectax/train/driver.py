@@ -62,6 +62,10 @@ class TrainConfig:
     debug_nans: bool = False
     # ship uint8 batches and normalize on-device (4x less H2D traffic)
     device_normalize: bool = True
+    # msgpack of ported backbone weights (tools/port_tf_weights) to load
+    # into the fresh state before training (reference trains from
+    # ImageNet-pretrained Keras backbones, FCOS/fcos.py:30-41)
+    init_backbone: str | None = None
 
 
 def build_loader(cfg: TrainConfig, dataset):
@@ -104,9 +108,12 @@ def _device_prefetch(loader, mesh, depth: int = 2):
     def worker():
         try:
             for batch in loader:
-                db = {k: jnp.asarray(v) for k, v in batch.items()}
                 if mesh is not None:
-                    db = mesh_lib.shard_batch(db, mesh)
+                    # handles both single-process device_put and
+                    # multi-process local-shard assembly
+                    db = mesh_lib.shard_batch(batch, mesh)
+                else:
+                    db = {k: jnp.asarray(v) for k, v in batch.items()}
                 q.put((db, batch))
         except Exception as e:  # surface loader errors in the main thread
             err.append(e)
@@ -122,6 +129,34 @@ def _device_prefetch(loader, mesh, depth: int = 2):
                 raise err[0]
             return
         yield item
+
+
+def load_backbone_weights(state, path: str):
+    """Load a ported backbone msgpack (tools/port_tf_weights) into a fresh
+    TrainState: replaces the backbone submodule's params + batch_stats,
+    leaving FPN/heads at their fresh init."""
+    import re
+
+    from detectax.tools.port_tf_weights import load_ported
+
+    pattern = re.compile(r"^(ResNet|MobileNetV2|TinyBackbone)_\d+$")
+    keys = [k for k in state.params if pattern.match(k)]
+    if len(keys) != 1:
+        raise ValueError(
+            f"expected exactly one backbone submodule, found {keys}"
+        )
+    bk = keys[0]
+    template = {
+        "params": state.params[bk],
+        "batch_stats": state.batch_stats[bk],
+    }
+    loaded = load_ported(path, template)
+    params = dict(state.params)
+    params[bk] = loaded["params"]
+    batch_stats = dict(state.batch_stats)
+    batch_stats[bk] = loaded["batch_stats"]
+    print(f"initialized backbone {bk} from {path}")
+    return state.replace(params=params, batch_stats=batch_stats)
 
 
 def fit(
@@ -154,6 +189,8 @@ def fit(
     state = create_train_state(
         model, jax.random.PRNGKey(cfg.seed), sample, optimizer
     )
+    if cfg.init_backbone:
+        state = load_backbone_weights(state, cfg.init_backbone)
 
     if use_mesh:
         mesh = mesh_lib.make_mesh()

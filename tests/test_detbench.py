@@ -1,0 +1,47 @@
+"""DetBench standardized benchmark dataset tests."""
+import numpy as np
+
+from detectax.data.detbench import CLASS_NAMES, DetBenchDataset, load_spec
+
+
+def test_spec_is_committed_and_loads():
+    spec = load_spec()
+    assert spec["version"] == "detbench_v1"
+    assert spec["n_eval"] == 256
+
+
+def test_deterministic_and_split_disjoint():
+    ds = DetBenchDataset("eval", n=4)
+    a = ds[2]
+    b = DetBenchDataset("eval", n=4)[2]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["boxes_xyxy"], b["boxes_xyxy"])
+    tr = DetBenchDataset("train", n=4)[2]
+    assert not np.array_equal(a["image"], tr["image"])
+
+
+def test_sample_properties():
+    ds = DetBenchDataset("train", n=8)
+    seen = set()
+    for i in range(8):
+        r = ds[i]
+        img, boxes, labels = r["image"], r["boxes_xyxy"], r["labels"]
+        assert img.shape == (512, 512, 3) and img.dtype == np.uint8
+        assert 2 <= len(boxes) <= 10
+        assert (boxes[:, 2] > boxes[:, 0]).all()
+        assert (boxes[:, 3] > boxes[:, 1]).all()
+        assert (boxes >= 0).all() and (boxes <= 1).all()
+        seen.update(labels.tolist())
+    assert len(seen) >= 5  # class variety across a few images
+    assert max(seen) < len(CLASS_NAMES)
+
+
+def test_loader_integration():
+    from detectax.data.pipeline import Loader
+
+    ds = DetBenchDataset("train", n=8)
+    loader = Loader(ds, batch_size=4, canvas=128, max_boxes=16,
+                    prefetch=0, shuffle=False)
+    batch = next(iter(loader))
+    assert batch["images"].shape == (4, 128, 128, 3)
+    assert batch["valid"].any(axis=1).all()  # every image has GT

@@ -39,3 +39,36 @@ def test_ported_resnet50_features_match_keras():
     np.testing.assert_allclose(np.asarray(out["c3"]), tf_c3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out["c4"]), tf_c4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out["c5"]), tf_c5, atol=2e-3)
+
+
+def test_ported_mobilenetv2_features_match_keras():
+    from detectax.models.backbones import MobileNetV2
+    from detectax.tools.port_tf_weights import port_mobilenetv2
+
+    keras_model = tf.keras.applications.MobileNetV2(
+        include_top=False, weights=None, input_shape=[None, None, 3]
+    )
+    # group outputs at strides 8/16/32: 32-ch group ends at block_5_add,
+    # 96-ch group at block_12_add, final 1280 conv at out_relu
+    taps = ["block_5_add", "block_12_add", "out_relu"]
+    extractor = tf.keras.Model(
+        inputs=keras_model.input,
+        outputs=[keras_model.get_layer(n).output for n in taps],
+    )
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    tf_c3, tf_c4, tf_c5 = [np.asarray(t) for t in extractor(x, training=False)]
+
+    variables = port_mobilenetv2(keras_model)
+    model = MobileNetV2()
+    out = model.apply(
+        {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        },
+        jnp.asarray(x),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out["c3"]), tf_c3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["c4"]), tf_c4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["c5"]), tf_c5, atol=2e-3)

@@ -1,0 +1,281 @@
+"""Two-process jax.distributed validation on CPU (r1 VERDICT "next" #6).
+
+Validates the multi-host code path no single-process test can reach:
+`jax.distributed.initialize`, global-array assembly from process-local
+loader shards (`jax.make_array_from_process_local_data` in
+`parallel.mesh.shard_batch`), and cross-process gradient all-reduce —
+using gloo CPU collectives with 2 virtual devices per process (4 global).
+
+Two checks:
+  A. **Exact equivalence**: both processes train FCOS-tiny for N steps on
+     a fixed global synthetic batch (each process feeding its contiguous
+     local rows); a single-process 4-device run of the same global batch
+     must produce allclose params.
+  B. **Loader-shard smoke**: the real `data.pipeline.Loader` with
+     `num_hosts=2` feeds disjoint per-host shards through
+     `train.driver`-style steps; params must remain bit-identical across
+     processes (replicated state + psum) and losses finite.
+
+Usage:  python tools/two_process_cpu_test.py            # parent: spawns 2
+        (internal) --child <pid> --port <p>             # child mode
+Exit code 0 = pass.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STEPS = 3
+GLOBAL_BATCH = 4
+IMG, NC = 64, 3
+
+
+def child(process_id: int, num_processes: int, port: int, out_path: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize override
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == 2 * num_processes
+
+    from detectax.data.pipeline import Loader
+    from detectax.data.synthetic import SyntheticDataset
+    from detectax.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    state, shardings, step_fn = _build(mesh)
+
+    # --- A: fixed global batch, each process feeds its contiguous rows ---
+    global_batch = _global_batch()
+    per = GLOBAL_BATCH // num_processes
+    local = {
+        k: v[process_id * per:(process_id + 1) * per]
+        for k, v in global_batch.items()
+    }
+    for _ in range(STEPS):
+        db = mesh_lib.shard_batch(local, mesh)
+        state, metrics = step_fn(state, db)
+    total_a = float(metrics["total"])
+    params_a = jax.tree_util.tree_leaves(
+        jax.device_get(_replicate_for_fetch(state.params))
+    )
+    checksum = float(sum(np.abs(p).sum() for p in params_a))
+
+    # --- B: real Loader with per-host shards ---
+    ds = SyntheticDataset(n=16, img_size=IMG)
+    loader = Loader(
+        ds, batch_size=per, canvas=IMG, max_boxes=8, flip=False,
+        shuffle=False, prefetch=0, num_hosts=num_processes,
+        host_id=process_id, steps=STEPS,
+    )
+    state_b, _, step_b = _build(mesh)
+    for batch in loader:
+        db = mesh_lib.shard_batch(batch, mesh)
+        state_b, metrics_b = step_b(state_b, db)
+    total_b = float(metrics_b["total"])
+    checksum_b = float(sum(
+        np.abs(p).sum() for p in jax.tree_util.tree_leaves(
+            jax.device_get(_replicate_for_fetch(state_b.params))
+        )
+    ))
+    assert np.isfinite(total_b), total_b
+
+    with open(out_path, "w") as f:
+        json.dump({
+            "process": process_id,
+            "loss_a": total_a,
+            "checksum_a": checksum,
+            "loss_b": total_b,
+            "checksum_b": checksum_b,
+        }, f)
+    print(f"child {process_id}: loss_a={total_a:.6f} "
+          f"checksum_a={checksum:.4f} loss_b={total_b:.6f}")
+
+
+def _replicate_for_fetch(tree):
+    """FSDP-sharded leaves can't be device_get directly on one process;
+    this test uses replicated state so a plain fetch of addressable data
+    works — kept as a hook for future FSDP fetch logic."""
+    return tree
+
+
+def _build(mesh):
+    import jax
+    import jax.numpy as jnp
+
+    from detectax.models import FCOS
+    from detectax.ops import assign
+    from detectax.parallel import mesh as mesh_lib
+    from detectax.train import losses as det_losses
+    from detectax.train.loop import create_train_state, make_train_step
+    from detectax.train.schedules import exponential_with_floor, make_optimizer
+
+    model = FCOS(num_classes=NC, backbone="tiny")
+    opt = make_optimizer("sgd", exponential_with_floor(1e-2))
+
+    def assign_fn(b, l, v):
+        outs, _ = assign.fcos_assign(
+            b, l, v, img_dim=(IMG, IMG), num_classes=NC
+        )
+        return outs
+
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((GLOBAL_BATCH, IMG, IMG, 3)), opt,
+    )
+    # replicated params (exact-equality check needs deterministic fetch)
+    state, shardings = mesh_lib.shard_train_state(state, mesh, fsdp=False)
+    raw = make_train_step(
+        model, assign_fn, det_losses.fcos_loss, opt, donate=False, jit=False
+    )
+    step_fn = mesh_lib.make_sharded_train_step(
+        raw, mesh, state_shardings=shardings
+    )
+    return state, shardings, step_fn
+
+
+def _global_batch():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    boxes = np.zeros((GLOBAL_BATCH, 8, 4), np.float32)
+    boxes[:, 0] = [0.5, 0.5, 0.4, 0.3]
+    boxes[:, 1] = [0.25, 0.7, 0.2, 0.2]
+    return {
+        "images": rng.normal(
+            size=(GLOBAL_BATCH, IMG, IMG, 3)
+        ).astype(np.float32),
+        "boxes": boxes,
+        "labels": np.tile(
+            np.asarray([1, 2] + [0] * 6, np.int32), (GLOBAL_BATCH, 1)
+        ),
+        "valid": np.tile(
+            np.asarray([1, 1] + [0] * 6, bool), (GLOBAL_BATCH, 1)
+        ),
+    }
+
+
+def single_process_reference(out_path: str):
+    """4-virtual-device single-process run of check A's global batch."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from detectax.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(4)
+    state, _, step_fn = _build(mesh)
+    gb = _global_batch()
+    for _ in range(STEPS):
+        db = mesh_lib.shard_batch(gb, mesh)
+        state, metrics = step_fn(state, db)
+    params = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    checksum = float(sum(np.abs(p).sum() for p in params))
+    with open(out_path, "w") as f:
+        json.dump({
+            "loss_a": float(metrics["total"]), "checksum_a": checksum
+        }, f)
+    print(f"reference: loss={float(metrics['total']):.6f} "
+          f"checksum={checksum:.4f}")
+
+
+def parent(tmp: str = "/tmp/detectax_2proc") -> int:
+    os.makedirs(tmp, exist_ok=True)
+    port = 12785
+    env_common = dict(os.environ)
+    env_common["PYTHONPATH"] = REPO + ":" + env_common.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        env = dict(env_common)
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=2"
+            ).strip()
+        out = os.path.join(tmp, f"child{pid}.json")
+        procs.append((subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", str(pid), "--port", str(port), "--out", out],
+            env=env, cwd=REPO,
+        ), out))
+    rc = 0
+    for p, _ in procs:
+        rc |= p.wait(timeout=600)
+    if rc:
+        print("FAIL: a child exited nonzero")
+        return 1
+
+    # single-process reference in a fresh subprocess (4 virtual devices)
+    env = dict(env_common)
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=4"
+        ).strip()
+    ref_out = os.path.join(tmp, "ref.json")
+    rc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--reference",
+         "--out", ref_out],
+        env=env, cwd=REPO,
+    ).returncode
+    if rc:
+        print("FAIL: reference run exited nonzero")
+        return 1
+
+    results = [json.load(open(o)) for _, o in procs]
+    ref = json.load(open(ref_out))
+    ok = True
+    # A: both processes agree with each other AND with the 1-process run
+    import math
+
+    for r in results:
+        if not math.isclose(
+            r["checksum_a"], ref["checksum_a"], rel_tol=1e-5
+        ):
+            print(f"FAIL A: process {r['process']} checksum "
+                  f"{r['checksum_a']} != reference {ref['checksum_a']}")
+            ok = False
+        if not math.isclose(r["loss_a"], ref["loss_a"], rel_tol=1e-4):
+            print(f"FAIL A: loss {r['loss_a']} != ref {ref['loss_a']}")
+            ok = False
+    # B: replicated params identical across processes
+    if not math.isclose(
+        results[0]["checksum_b"], results[1]["checksum_b"], rel_tol=1e-6
+    ):
+        print("FAIL B: params diverged across processes")
+        ok = False
+    print("TWO-PROCESS VALIDATION:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--child", type=int, default=None)
+    p.add_argument("--reference", action="store_true")
+    p.add_argument("--port", type=int, default=12785)
+    p.add_argument("--out", default="/tmp/detectax_2proc/out.json")
+    args = p.parse_args()
+    if args.child is not None:
+        os.environ["DETECTAX_NUM_PROCESSES"] = "2"
+        child(args.child, 2, args.port, args.out)
+    elif args.reference:
+        single_process_reference(args.out)
+    else:
+        sys.exit(parent())
+
+
+if __name__ == "__main__":
+    main()
