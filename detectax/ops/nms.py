@@ -27,6 +27,21 @@ import jax.numpy as jnp
 
 from detectax.ops.boxes import pairwise_iou_corners
 
+# Candidate-count threshold above which hard-NMS suppression runs as the
+# Pallas kernel (never materializes the [K, K] IoU matrix) instead of the
+# XLA fori-loop over a precomputed matrix. Set from measured TPU A/B
+# numbers (benchmarks/pallas_ab.py; see BASELINE.md).
+PALLAS_SUPPRESSION_MIN_K = 512
+
+
+def _use_pallas_suppression(k: int) -> bool:
+    try:
+        from detectax.ops.pallas._common import on_tpu
+
+        return on_tpu() and k >= PALLAS_SUPPRESSION_MIN_K
+    except Exception:  # pragma: no cover
+        return False
+
 
 def select_top_k(
     boxes: jnp.ndarray,
@@ -123,6 +138,7 @@ def _soft_nms_scores(
         "class_aware",
         "mode",
         "soft_sigma",
+        "use_pallas",
     ),
 )
 def nms(
@@ -136,6 +152,7 @@ def nms(
     class_aware: bool = True,
     mode: str = "hard",
     soft_sigma: float = 0.3,
+    use_pallas: bool | None = None,
 ):
     """Deterministic fixed-shape NMS over K pre-selected candidates.
 
@@ -153,12 +170,16 @@ def nms(
     scores_s = scores[order]
     classes_s = classes[order]
 
-    iou = pairwise_iou_corners(boxes_s, boxes_s)
-    if class_aware:
-        same_class = classes_s[:, None] == classes_s[None, :]
-        iou = iou * same_class.astype(iou.dtype)
+    if use_pallas is None:
+        use_pallas = mode == "hard" and _use_pallas_suppression(
+            boxes.shape[0]
+        )
 
     if mode == "soft":
+        iou = pairwise_iou_corners(boxes_s, boxes_s)
+        if class_aware:
+            same_class = classes_s[:, None] == classes_s[None, :]
+            iou = iou * same_class.astype(iou.dtype)
         new_scores = _soft_nms_scores(iou, scores_s, soft_sigma)
         # Re-rank by decayed score; keep everything above threshold
         # (reference drops boxes decayed to <= 0,
@@ -168,7 +189,21 @@ def nms(
         classes_s = classes_s[reorder]
         scores_s = new_scores[reorder]
         keep = scores_s > jnp.maximum(score_thresh, 0.0)
+    elif use_pallas:
+        # Pallas sweep: no [K, K] IoU matrix is ever materialized; class
+        # masking happens inside the kernel.
+        from detectax.ops.pallas.nms_kernel import suppression_mask_pallas
+
+        keep = suppression_mask_pallas(
+            boxes_s, iou_thresh,
+            classes=classes_s if class_aware else None,
+        )
+        keep = keep & (scores_s >= score_thresh)
     else:
+        iou = pairwise_iou_corners(boxes_s, boxes_s)
+        if class_aware:
+            same_class = classes_s[:, None] == classes_s[None, :]
+            iou = iou * same_class.astype(iou.dtype)
         keep = _suppression_mask(iou, iou_thresh)
         keep = keep & (scores_s >= score_thresh)
 

@@ -23,7 +23,7 @@ from detectax.ops.pallas._common import on_tpu, round_up
 LANE = 128
 
 
-def _nms_kernel(rows_ref, keep_ref, iou_thresh):
+def _nms_kernel(rows_ref, keep_ref, iou_thresh, class_aware=False):
     k = rows_ref.shape[1]
     y1 = rows_ref[0:1, :]
     x1 = rows_ref[1:2, :]
@@ -31,6 +31,7 @@ def _nms_kernel(rows_ref, keep_ref, iou_thresh):
     x2 = rows_ref[3:4, :]
     area = rows_ref[4:5, :]
     valid = rows_ref[5:6, :]  # 1.0 for real candidates, 0.0 for padding
+    cls = rows_ref[6:7, :]    # class id as float (class-aware mode)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     keep_ref[:] = valid
@@ -57,6 +58,9 @@ def _nms_kernel(rows_ref, keep_ref, iou_thresh):
             & (idx > i)
             & (keep_i > 0.5)
         )
+        if class_aware:
+            bcls = jnp.sum(cls * onehot)
+            sup = sup & (jnp.abs(cls - bcls) < 0.5)
         keep_ref[:] = keep_ref[:] * (1.0 - sup.astype(jnp.float32))
         return 0
 
@@ -67,9 +71,15 @@ def suppression_mask_pallas(
     boxes: jnp.ndarray,
     iou_thresh: float,
     valid: jnp.ndarray | None = None,
+    classes: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Keep mask for score-descending corner boxes ``[K, 4]``."""
+    """Keep mask for score-descending corner boxes ``[K, 4]``.
+
+    ``classes`` (int ``[K]``): when given, suppression only acts between
+    same-class candidates (class-aware NMS) — the cross-class IoU masking
+    happens inside the kernel, no [K, K] matrix anywhere.
+    """
     if interpret is None:
         interpret = not on_tpu()
     k = boxes.shape[0]
@@ -80,13 +90,23 @@ def suppression_mask_pallas(
         v = jnp.pad(jnp.ones((k,), jnp.float32), (0, kp - k))
     else:
         v = jnp.pad(valid.astype(jnp.float32), (0, kp - k))
+    if classes is None:
+        c = jnp.zeros((kp,), jnp.float32)
+    else:
+        # padding gets class -1 so it can never alias a real class
+        c = jnp.pad(
+            classes.astype(jnp.float32), (0, kp - k), constant_values=-1.0
+        )
     rows = jnp.stack(
-        [b[:, 0], b[:, 1], b[:, 2], b[:, 3], area, v,
-         jnp.zeros_like(v), jnp.zeros_like(v)],
+        [b[:, 0], b[:, 1], b[:, 2], b[:, 3], area, v, c,
+         jnp.zeros_like(v)],
         axis=0,
     )  # [8, Kp]
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_thresh=iou_thresh),
+        functools.partial(
+            _nms_kernel, iou_thresh=iou_thresh,
+            class_aware=classes is not None,
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),

@@ -89,3 +89,61 @@ def test_peak_decode_finds_injected_peak():
     got = np.asarray(peak_scores_pallas(jnp.asarray(logits)))
     ys, xs, cs = np.nonzero(got > 0.5)
     assert list(zip(ys, xs)) == [(5, 7)]
+
+
+def test_nms_pallas_class_aware_matches_xla(rng):
+    k = 96
+    boxes = rng.uniform(0, 60, size=(k, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 40, size=(k, 2))
+    classes = rng.integers(0, 3, size=(k,)).astype(np.int32)
+    from detectax.ops.boxes import pairwise_iou_corners
+
+    iou = pairwise_iou_corners(jnp.asarray(boxes), jnp.asarray(boxes))
+    iou = iou * (classes[:, None] == classes[None, :])
+    want = np.asarray(N._suppression_mask(iou, 0.45))
+    got = np.asarray(
+        suppression_mask_pallas(
+            jnp.asarray(boxes), 0.45, classes=jnp.asarray(classes)
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_use_pallas_flag_equals_default(rng):
+    k = 128
+    boxes = rng.uniform(0, 60, size=(k, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 40, size=(k, 2))
+    scores = rng.uniform(size=(k,)).astype(np.float32)
+    classes = rng.integers(0, 4, size=(k,)).astype(np.int32)
+    args = (jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes))
+    for class_aware in (True, False):
+        a = N.nms(*args, iou_thresh=0.4, class_aware=class_aware,
+                  max_outputs=k, use_pallas=False)
+        b = N.nms(*args, iou_thresh=0.4, class_aware=class_aware,
+                  max_outputs=k, use_pallas=True)
+        assert int(a["num_valid"]) == int(b["num_valid"])
+        np.testing.assert_array_equal(
+            np.asarray(a["valid"]), np.asarray(b["valid"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["boxes"]), np.asarray(b["boxes"])
+        )
+
+
+def test_nms_pallas_under_vmap(rng):
+    k = 64
+    boxes = rng.uniform(0, 60, size=(2, k, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(5, 40, size=(2, k, 2))
+    scores = rng.uniform(size=(2, k)).astype(np.float32)
+    classes = rng.integers(0, 3, size=(2, k)).astype(np.int32)
+    f = jax.vmap(
+        lambda b, s, c: N.nms(b, s, c, max_outputs=16, use_pallas=True)
+    )
+    g = jax.vmap(
+        lambda b, s, c: N.nms(b, s, c, max_outputs=16, use_pallas=False)
+    )
+    a = f(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes))
+    b = g(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes))
+    np.testing.assert_array_equal(
+        np.asarray(a["valid"]), np.asarray(b["valid"])
+    )
