@@ -14,7 +14,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from detectax.models.layers import ConvBN
+from detectax.models.layers import bn_f32_stats as _bn_f32_stats, ConvBN
 
 Dtype = Any
 
@@ -135,6 +135,7 @@ class InvertedResidual(nn.Module):
             dtype=self.dtype, name="depthwise",
         )(h)
         h = nn.BatchNorm(
+            force_float32_reductions=_bn_f32_stats(),
             use_running_average=not train, momentum=0.9,
             epsilon=self.bn_eps, dtype=self.dtype,
         )(h)

@@ -40,6 +40,7 @@ from detectax.models.layers import (
     HourglassConvBlock,
     HourglassDownsample,
     SeparableConv,
+    bn_f32_stats as _bn_f32_stats,
     depth_to_space,
     space_to_depth,
     upsample2x,
@@ -211,6 +212,7 @@ class BottleneckHGBlock(nn.Module):
             h = inp
             if self.batch_norm:
                 h = nn.BatchNorm(
+                    force_float32_reductions=_bn_f32_stats(),
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",
                 )(h)

@@ -20,6 +20,20 @@ Dtype = Any
 FOCAL_BIAS = math.log(0.01 / 0.99)
 
 
+def bn_f32_stats() -> bool:
+    """Whether BatchNorm statistics reduce in fp32 (flax default).
+
+    Profiling shows the bf16->fp32 convert+reduce fusions for BN stats are
+    ~24% of the flagship train step (ROADMAP r1). Setting
+    ``DETECTAX_BN_BF16_STATS=1`` computes the stats in bf16 instead — an
+    opt-in experiment: mean is fine in bf16 but E[x^2]-E[x]^2 variance
+    loses precision, so validate the loss curve before adopting.
+    """
+    import os
+
+    return os.environ.get("DETECTAX_BN_BF16_STATS", "0") != "1"
+
+
 def focal_bias_init(key, shape, dtype=jnp.float32):
     return jnp.full(shape, FOCAL_BIAS, dtype=dtype)
 
@@ -102,6 +116,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
+            force_float32_reductions=bn_f32_stats(),
             use_running_average=not train, momentum=0.9,
             epsilon=self.bn_eps, dtype=self.dtype,
         )(x)
@@ -162,6 +177,7 @@ class HourglassConvBlock(nn.Module):
             h = inp
             if self.batch_norm and self.norm_order == "norm_first":
                 h = nn.BatchNorm(
+                    force_float32_reductions=bn_f32_stats(),
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",
                 )(h)
@@ -178,6 +194,7 @@ class HourglassConvBlock(nn.Module):
             h = conv(h)
             if self.batch_norm and self.norm_order == "norm_last":
                 h = nn.BatchNorm(
+                    force_float32_reductions=bn_f32_stats(),
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",
                 )(h)
@@ -203,6 +220,7 @@ class HourglassDownsample(nn.Module):
         h = x
         if self.batch_norm and self.norm_order == "norm_first":
             h = nn.BatchNorm(
+                force_float32_reductions=bn_f32_stats(),
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype,
             )(h)
@@ -217,6 +235,7 @@ class HourglassDownsample(nn.Module):
         h = conv(h)
         if self.batch_norm and self.norm_order == "norm_last":
             h = nn.BatchNorm(
+                force_float32_reductions=bn_f32_stats(),
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype,
             )(h)
