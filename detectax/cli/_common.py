@@ -23,6 +23,17 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     p.add_argument("--max_steps", type=int, default=d("max_steps", 20000))
     p.add_argument("--backbone", default=d("backbone", "resnet50"))
     p.add_argument("--init_lr", type=float, default=d("init_lr", 5e-4))
+    p.add_argument("--loss_norm", choices=("batch", "pos"),
+                   default=d("loss_norm", "batch"),
+                   help="'batch': divide summed losses by batch size "
+                        "(reference parity); 'pos': divide by positive-cell "
+                        "count (FCOS-paper convention — use for "
+                        "from-scratch training)")
+    p.add_argument("--warmup_steps", type=int, default=d("warmup_steps", 0),
+                   help="linear LR warmup steps (0 = off)")
+    p.add_argument("--grad_clip", type=float, default=d("grad_clip", 1.0),
+                   help="global-norm gradient clip (reference default 1.0; "
+                        "raise for from-scratch pos-normalized training)")
     p.add_argument("--microbatch", type=int, default=d("microbatch", None))
     p.add_argument("--ckpt_dir", default=d("ckpt_dir", "ckpt"))
     p.add_argument("--out_dir", default=d("out_dir", "outputs"))
@@ -84,6 +95,9 @@ def config_from_args(args, **overrides) -> TrainConfig:
         ),
         debug_nans=args.debug_nans,
         init_backbone=args.init_backbone,
+        loss_norm=args.loss_norm,
+        warmup_steps=args.warmup_steps,
+        grad_clip=args.grad_clip,
     )
     for k, v in overrides.items():
         setattr(cfg, k, v)

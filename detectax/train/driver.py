@@ -48,6 +48,10 @@ class TrainConfig:
     grad_clip: float = 1.0
     weight_decay: float = 0.0
     microbatch: int | None = None
+    # "batch" (reference divide_no_nan parity) or "pos" (normalize by
+    # positive cells — FCOS-paper convention, needed from scratch)
+    loss_norm: str = "batch"
+    warmup_steps: int = 0
     # observability
     ckpt_dir: str = "ckpt"
     display_step: int = 50
@@ -174,6 +178,10 @@ def fit(
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     schedule = make_schedule(cfg.schedule, **cfg.schedule_kwargs)
+    if cfg.warmup_steps:
+        from detectax.train.schedules import with_warmup
+
+        schedule = with_warmup(schedule, cfg.warmup_steps)
     optimizer = make_optimizer(
         cfg.optimizer, schedule,
         grad_clip=cfg.grad_clip, weight_decay=cfg.weight_decay,
@@ -199,6 +207,7 @@ def fit(
             model, assign_fn, loss_fn, optimizer,
             microbatch=cfg.microbatch, jit=False,
             normalize=cfg.normalize if cfg.device_normalize else None,
+            loss_norm=cfg.loss_norm,
         )
         step_fn = mesh_lib.make_sharded_train_step(
             raw_step, mesh, state_shardings=shardings
@@ -208,6 +217,7 @@ def fit(
         step_fn = make_train_step(
             model, assign_fn, loss_fn, optimizer, microbatch=cfg.microbatch,
             normalize=cfg.normalize if cfg.device_normalize else None,
+            loss_norm=cfg.loss_norm,
         )
 
     ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=cfg.max_to_keep)

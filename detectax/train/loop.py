@@ -60,6 +60,7 @@ def make_train_step(
     donate: bool = True,
     jit: bool = True,
     normalize: str | None = None,
+    loss_norm: str = "batch",
 ):
     """Build the jitted train step.
 
@@ -71,6 +72,13 @@ def make_train_step(
       microbatch: if set, split the batch into chunks of this size and
         accumulate gradients via `lax.scan` (reference sub_batch_sz
         semantics).
+      loss_norm: "batch" divides the summed losses by batch size (reference
+        `divide_no_nan(acc, batch)` parity); "pos" divides by the batch's
+        positive-cell count (FCOS-paper convention — required for stable
+        from-scratch training, where sum-scale losses collide with the
+        global-norm gradient clip). "pos" needs a loss_fn that returns a
+        "num_pos" entry. With microbatching, each chunk normalizes by its
+        own positives.
 
     Returns ``step(state, batch) -> (state, metrics)`` where batch is a
     dict of ``images [B,H,W,3]``, ``boxes [B,N,4]``, ``labels [B,N]``,
@@ -91,8 +99,15 @@ def make_train_step(
             mutable=["batch_stats"],
         )
         losses = loss_fn(y_true, preds)
-        # divide_no_nan(sum, batch) parity (train_fcos.py:179-180)
-        losses = jax.tree_util.tree_map(lambda v: v / batch_size, losses)
+        if loss_norm == "pos":
+            denom = jnp.maximum(losses["num_pos"], 1.0)
+        else:
+            # divide_no_nan(sum, batch) parity (train_fcos.py:179-180)
+            denom = batch_size
+        num_pos = losses.pop("num_pos", None)
+        losses = jax.tree_util.tree_map(lambda v: v / denom, losses)
+        if num_pos is not None:
+            losses["num_pos"] = num_pos
         return losses["total"], (losses, mutated["batch_stats"])
 
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
@@ -169,6 +184,15 @@ def make_train_step(
                 (zero_grads, zero_losses, state.batch_stats),
                 (images_c, y_true_c),
             )
+            if loss_norm == "pos":
+                # each chunk normalized by its own positives; average the
+                # chunk means so the scale matches the non-microbatch step
+                num_pos = losses.pop("num_pos", None)
+                inv = 1.0 / n_chunks
+                grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+                losses = jax.tree_util.tree_map(lambda v: v * inv, losses)
+                if num_pos is not None:
+                    losses["num_pos"] = num_pos
 
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params

@@ -15,6 +15,14 @@ Each mirrors a reference `model_loss` / `train_loss`:
 All return per-example-sum scalars; the train step divides by batch size
 (the reference's `divide_no_nan(acc, batch)` normalization,
 `FCOS/train_fcos.py:179-180`).
+
+Each dict also carries ``num_pos`` — the number of positive cells in the
+batch — so the step can instead normalize by positives
+(``loss_norm="pos"``, the FCOS-paper convention). The reference's
+sum-over-cells losses reach O(100) with grad norms O(1000); against its
+global-norm clip of 1.0 that crushes the effective step size, which the
+reference survived only because its backbones start ImageNet-pretrained.
+From-scratch runs (DetBench) use positive normalization.
 """
 from __future__ import annotations
 
@@ -52,9 +60,11 @@ def fcos_loss(
     cls_loss = 0.0
     reg_loss = 0.0
     cen_loss = 0.0
+    num_pos = 0.0
     for yt, yp in zip(y_true, y_pred):
         obj = jnp.max(yt[..., 5:], axis=-1)
         mask = (obj >= 1.0).astype(jnp.float32)
+        num_pos += jnp.sum(mask)
         cls_loss += focal_loss(yt[..., 5:], yp[..., 5:])
         if cen_type == "l1":
             # reference compares sigmoid(pred) to the target with an
@@ -71,6 +81,7 @@ def fcos_loss(
     total = cls_lambda * cls_loss + reg_lambda * (reg_loss + cen_loss)
     return {
         "cls": cls_loss, "reg": reg_loss, "cen": cen_loss, "total": total,
+        "num_pos": num_pos,
     }
 
 
@@ -87,7 +98,8 @@ def centernet_s8_loss(
     cls_loss = focal_loss(y_true[..., 4:], y_pred[..., 4:])
     reg_loss = smooth_l1_loss(y_true[..., :4], y_pred[..., :4], mask=mask)
     total = cls_lambda * cls_loss + reg_lambda * reg_loss
-    return {"cls": cls_loss, "reg": reg_loss, "total": total}
+    return {"cls": cls_loss, "reg": reg_loss, "total": total,
+            "num_pos": jnp.sum(mask)}
 
 
 def hourglass_loss(
@@ -108,7 +120,8 @@ def hourglass_loss(
         jnp.abs(y_true[..., :4] - y_pred[..., :4]) * mask[..., None]
     )
     total = cls_loss + reg_lambda * reg_loss
-    return {"cls": cls_loss, "reg": reg_loss, "total": total}
+    return {"cls": cls_loss, "reg": reg_loss, "total": total,
+            "num_pos": jnp.sum(mask)}
 
 
 def retinanet_loss(
@@ -121,10 +134,13 @@ def retinanet_loss(
     """Anchor loss over 5 levels of [B, h, w, A, 4+nc] maps."""
     cls_loss = 0.0
     reg_loss = 0.0
+    num_pos = 0.0
     for yt, yp in zip(y_true, y_pred):
         obj = jnp.max(yt[..., 4:], axis=-1)
         mask = (obj > 0).astype(jnp.float32)
+        num_pos += jnp.sum(mask)
         cls_loss += focal_loss(yt[..., 4:], yp[..., 4:])
         reg_loss += smooth_l1_loss(yt[..., :4], yp[..., :4], mask=mask)
     total = cls_lambda * cls_loss + reg_lambda * reg_loss
-    return {"cls": cls_loss, "reg": reg_loss, "total": total}
+    return {"cls": cls_loss, "reg": reg_loss, "total": total,
+            "num_pos": num_pos}

@@ -51,6 +51,23 @@ def epoch_decay(
     return schedule
 
 
+def with_warmup(schedule: optax.Schedule, warmup_steps: int) -> optax.Schedule:
+    """Linear LR warmup over the first `warmup_steps` steps.
+
+    New capability (no reference counterpart): the reference always starts
+    from ImageNet-pretrained backbones, so it never needed warmup; training
+    from scratch (DetBench protocol) does.
+    """
+    if warmup_steps <= 0:
+        return schedule
+
+    def s(step):
+        w = jnp.minimum((step + 1) / warmup_steps, 1.0)
+        return schedule(step) * w
+
+    return s
+
+
 def make_schedule(kind: str, **kwargs) -> optax.Schedule:
     if kind == "exponential":
         return exponential_with_floor(**kwargs)

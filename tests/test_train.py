@@ -28,13 +28,13 @@ def _fcos_assign(boxes, labels, valid):
     return outs
 
 
-def _make_everything(microbatch=None, jit=True):
+def _make_everything(microbatch=None, jit=True, loss_norm="batch"):
     model = FCOS(num_classes=NC, backbone="mobilenetv2")
     opt = make_optimizer("sgd", exponential_with_floor(1e-2), grad_clip=1.0)
     loss_fn = functools.partial(det_losses.fcos_loss, reg_type="l1")
     step_fn = make_train_step(
         model, _fcos_assign, loss_fn, opt, microbatch=microbatch,
-        donate=False, jit=jit,
+        donate=False, jit=jit, loss_norm=loss_norm,
     )
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((2, IMG, IMG, 3)), opt
@@ -103,6 +103,45 @@ def test_microbatch_matches_full_batch_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     # both performed exactly one optimizer step
     assert int(sa.step) == int(sb.step) == 1
+
+
+def test_pos_loss_norm_scale_and_microbatch_match():
+    """loss_norm="pos" divides by positive-cell count, and the microbatch
+    path averages per-chunk means so its scale matches the full-batch step
+    (identical-image batch isolates the accumulation from BN stats)."""
+    _, _, step_batch, state = _make_everything(loss_norm="batch")
+    _, _, step_pos, _ = _make_everything(loss_norm="pos")
+    _, _, step_pos_mb, _ = _make_everything(loss_norm="pos", microbatch=1)
+    batch = _batch(n=2)
+    batch = {k: jnp.stack([v[0], v[0]]) for k, v in batch.items()}
+    _, mb = step_batch(state, batch)
+    _, mp = step_pos(state, batch)
+    _, mpm = step_pos_mb(state, batch)
+    num_pos = float(mp["num_pos"])
+    assert num_pos > 0
+    # same unnormalized sums, different denominators
+    np.testing.assert_allclose(
+        float(mp["total"]) * num_pos,
+        float(mb["total"]) * batch["images"].shape[0],
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(mp["total"]), float(mpm["total"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(mp["grad_norm"]), float(mpm["grad_norm"]), rtol=1e-2
+    )
+
+
+def test_warmup_schedule():
+    from detectax.train.schedules import with_warmup
+
+    base = exponential_with_floor(1e-2, 0.5, 100, 1e-5)
+    s = with_warmup(base, 10)
+    assert float(s(0)) == pytest.approx(float(base(0)) * 0.1)
+    assert float(s(4)) == pytest.approx(float(base(4)) * 0.5)
+    assert float(s(9)) == pytest.approx(float(base(9)))
+    assert float(s(50)) == pytest.approx(float(base(50)))
 
 
 def test_eval_forward_uses_running_stats():
