@@ -16,6 +16,7 @@ algebraically identical to the reference's
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-12
@@ -46,7 +47,10 @@ def focal_loss(
     labels = labels.astype(jnp.float32)
     logits = logits.astype(jnp.float32)
     pos_ce, neg_ce = _stable_bce_terms(logits)
-    p = jnp.clip(jnp.asarray(1.0) / (1.0 + jnp.exp(-logits)), 0.0, 1.0)
+    # jax.nn.sigmoid, NOT 1/(1+exp(-x)): the naive form's VJP is
+    # 0*inf = NaN once a background logit drifts below ~-88 (exp
+    # overflow), which from-scratch training reliably reaches.
+    p = jax.nn.sigmoid(logits)
     loss = (
         labels * alpha * jnp.power(1.0 - p, gamma) * pos_ce
         + (1.0 - labels) * (1.0 - alpha) * jnp.power(p, gamma) * neg_ce

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 import os
@@ -68,9 +69,12 @@ def fcos_loss(
         cls_loss += focal_loss(yt[..., 5:], yp[..., 5:])
         if cen_type == "l1":
             # reference compares sigmoid(pred) to the target with an
-            # unmasked smooth-L1 (FCOS/fcos.py:483-486)
+            # unmasked smooth-L1 (FCOS/fcos.py:483-486). jax.nn.sigmoid,
+            # NOT 1/(1+exp(-x)): the naive form's VJP is 0*inf = NaN once
+            # a background logit drifts below ~-88 (exp overflow) — the
+            # unmasked L1 pushes background centerness there.
             cen_loss += smooth_l1_loss(
-                yt[..., 4], jnp.asarray(1.0) / (1.0 + jnp.exp(-yp[..., 4]))
+                yt[..., 4], jax.nn.sigmoid(yp[..., 4])
             )
         else:
             cen_loss += focal_loss(yt[..., 4], yp[..., 4])

@@ -48,6 +48,29 @@ def test_focal_loss_grad_finite(rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_focal_loss_grad_finite_past_exp_overflow():
+    """Regression: 1/(1+exp(-x)) has a 0*inf=NaN VJP below x~-88, which
+    from-scratch training reaches (background logits drift unboundedly
+    negative). The stable jax.nn.sigmoid path must stay finite."""
+    logits = jnp.asarray([-100.0, -500.0, 100.0, 500.0, 0.0])
+    labels = jnp.asarray([0.0, 1.0, 1.0, 0.0, 1.0])
+    g = jax.grad(lambda x: L.focal_loss(labels, x))(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fcos_centerness_grad_finite_past_exp_overflow():
+    from detectax.train.losses import fcos_loss
+
+    yt = [jnp.zeros((1, 4, 4, 8))]
+
+    def f(logit):
+        yp = [jnp.full((1, 4, 4, 8), logit)]
+        return fcos_loss(yt, yp)["cen"]
+
+    g = float(jax.grad(f)(jnp.asarray(-120.0)))
+    assert np.isfinite(g)
+
+
 def test_smooth_l1_matches_reference_formula(rng):
     y_true = rng.normal(size=(8, 8, 4)).astype(np.float32)
     y_pred = rng.normal(size=(8, 8, 4)).astype(np.float32)
