@@ -27,38 +27,47 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FAMILIES = {
     "fcos": {
         "train": "detectax.cli.train_fcos",
-        "args": ["--canvas", "384", "--init_lr", "5e-4",
+        "args": ["--canvas", "384", "--init_lr", "0.01",
                  "--decay_steps", "2000"],
     },
     "fcos_center": {
         "train": "detectax.cli.train_fcos_center_voc",
-        "args": ["--canvas", "384"],
+        "args": ["--canvas", "384", "--init_lr", "1e-3"],
     },
     "fcos_center_v1": {
         "train": "detectax.cli.train_fcos_center_v1_voc",
-        "args": ["--canvas", "384", "--init_lr", "0.005"],
+        "args": ["--canvas", "384", "--init_lr", "0.01"],
     },
     "centernet_s8": {
         "train": "detectax.cli.train_centernet_crowdhuman",
-        "args": ["--canvas", "512", "--init_lr", "0.005",
+        "args": ["--canvas", "512", "--init_lr", "0.01",
                  "--lr_boundaries", "2000", "2500"],
     },
     "centernet_heatmap": {
         "train": "detectax.cli.train_centernet_heatmap",
-        "args": ["--canvas", "384"],
+        "args": ["--canvas", "384", "--init_lr", "1e-3"],
     },
     "hourglass": {
         "train": "detectax.cli.train_hourglass_voc",
         "args": ["--canvas", "320", "--batch_size", "32",
-                 "--n_filters", "12", "--steps_per_epoch", "1000"],
+                 "--n_filters", "12", "--steps_per_epoch", "1000",
+                 "--init_lr", "1e-3"],
         "eval_extra": ["--n_filters", "12"],
     },
     "retinanet": {
         "train": "detectax.cli.train_retinanet_coco",
-        "args": ["--canvas", "512", "--init_lr", "0.005",
+        "args": ["--canvas", "512", "--init_lr", "0.01",
                  "--lr_boundaries", "2000"],
     },
 }
+
+# From-scratch optimization recipe (no ImageNet weights in this image):
+# positive-count loss normalization + linear warmup + a clip sized for
+# pos-normalized gradient scales. Validated on FCOS-R50@384 (NaN-free,
+# fast descent); per-family args above can override.
+FROM_SCRATCH_ARGS = [
+    "--loss_norm", "pos", "--warmup_steps", "300", "--grad_clip", "16",
+]
 
 
 def run(cmd, log_path):
@@ -109,6 +118,7 @@ def main(argv=None):
             "--out_dir", os.path.join(fam_dir, "out"),
             "--display_step", "100",
             "--step_save", "1000",
+            *FROM_SCRATCH_ARGS,
             *cfg["args"],
         ]
         if "--batch_size" not in cfg["args"]:
