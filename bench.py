@@ -75,7 +75,11 @@ def bench_train():
     from detectax.train.loop import create_train_state, make_train_step
     from detectax.train.schedules import exponential_with_floor, make_optimizer
 
-    model = FCOS(num_classes=nc, backbone=backbone, dtype=jnp.bfloat16)
+    freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
+    model = FCOS(
+        num_classes=nc, backbone=backbone, dtype=jnp.bfloat16,
+        freeze_bn=freeze_bn,
+    )
     opt = make_optimizer("sgd", exponential_with_floor(5e-4))
 
     def assign_fn(b, l, v):

@@ -34,6 +34,14 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     p.add_argument("--grad_clip", type=float, default=d("grad_clip", 1.0),
                    help="global-norm gradient clip (reference default 1.0; "
                         "raise for from-scratch pos-normalized training)")
+    p.add_argument("--optimizer", choices=("sgd", "adam", "adamw"),
+                   default=None,
+                   help="override the family's reference optimizer "
+                        "(default: whatever the mirrored trainer used)")
+    p.add_argument("--ema_decay", type=float, default=d("ema_decay", 0.0),
+                   help="parameter EMA decay (e.g. 0.999; 0 = off); "
+                        "averaged weights saved in the checkpoint as "
+                        "ema_params, used by evaluate --ema")
     p.add_argument("--microbatch", type=int, default=d("microbatch", None))
     p.add_argument("--ckpt_dir", default=d("ckpt_dir", "ckpt"))
     p.add_argument("--out_dir", default=d("out_dir", "outputs"))
@@ -98,7 +106,11 @@ def config_from_args(args, **overrides) -> TrainConfig:
         loss_norm=args.loss_norm,
         warmup_steps=args.warmup_steps,
         grad_clip=args.grad_clip,
+        ema_decay=args.ema_decay,
     )
     for k, v in overrides.items():
         setattr(cfg, k, v)
+    # --optimizer wins over the trainer's reference default
+    if getattr(args, "optimizer", None):
+        cfg.optimizer = args.optimizer
     return cfg

@@ -124,6 +124,9 @@ def main(argv=None):
     p.add_argument("--class_aware_candidates", action="store_true",
                    help="rank all (box, class) pairs before NMS (TF "
                         "combined-NMS semantics, reference FCOS infer path)")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the EMA-averaged weights (requires "
+                        "training with --ema_decay)")
     p.add_argument("--out_json", default=None)
     args = p.parse_args(argv)
 
@@ -138,7 +141,9 @@ def main(argv=None):
     nc = dataset.num_classes
     model, decode = build_family(args.family, nc, args.backbone,
                                  args.canvas, args)
-    state = restore_for_inference(args.ckpt_dir, model, args.canvas)
+    state = restore_for_inference(
+        args.ckpt_dir, model, args.canvas, use_ema=args.ema
+    )
 
     from detectax.data.pipeline import Loader
 

@@ -168,10 +168,17 @@ def load_spec(path: str | None = None) -> dict:
 class DetBenchDataset:
     """Map-style dataset over a DetBench split — deterministic from the
     committed spec: sample i of a split is a pure function of
-    (split_seed, i)."""
+    (split_seed, i).
+
+    With ``cache=True`` (default) the split is materialized ONCE to a
+    uint8 memmap under ``$DETECTAX_DETBENCH_CACHE`` (or
+    ~/.cache/detbench); subsequent epochs read from the page cache
+    instead of re-running the numpy generator per sample. On a
+    single-core host the generator (~25 img/s) otherwise starves the
+    train step (~450 img/s capability)."""
 
     def __init__(self, split: str = "train", spec: dict | None = None,
-                 n: int | None = None):
+                 n: int | None = None, cache: bool = True):
         self.spec = spec or load_spec()
         if split not in ("train", "eval"):
             raise ValueError(f"unknown split {split!r}")
@@ -180,6 +187,56 @@ class DetBenchDataset:
         self.n = n or self.spec[f"n_{split}"]
         self.img_size = self.spec["img_size"]
         self.id_to_label = {i: c for i, c in enumerate(CLASS_NAMES)}
+        self._mm = self._materialize() if cache else None
+
+    def _cache_paths(self):
+        root = os.environ.get(
+            "DETECTAX_DETBENCH_CACHE",
+            os.path.expanduser("~/.cache/detbench"),
+        )
+        key = (f"{self.spec['version']}_{self.split}_{self.seed}"
+               f"_{self.n}x{self.img_size}")
+        base = os.path.join(root, key)
+        return {
+            "dir": root,
+            "images": base + "_images.npy",
+            "boxes": base + "_boxes.npy",
+            "labels": base + "_labels.npy",
+            "counts": base + "_counts.npy",
+            "done": base + ".done",
+        }
+
+    def _materialize(self):
+        p = self._cache_paths()
+        max_obj = int(self.spec["max_objects"])
+        if not os.path.exists(p["done"]):
+            os.makedirs(p["dir"], exist_ok=True)
+            imgs = np.lib.format.open_memmap(
+                p["images"], mode="w+", dtype=np.uint8,
+                shape=(self.n, self.img_size, self.img_size, 3),
+            )
+            boxes = np.zeros((self.n, max_obj, 4), np.float32)
+            labels = np.zeros((self.n, max_obj), np.int32)
+            counts = np.zeros((self.n,), np.int32)
+            for i in range(self.n):
+                s = self._generate(i)
+                imgs[i] = s["image"]
+                k = min(len(s["labels"]), max_obj)
+                boxes[i, :k] = s["boxes_xyxy"][:k]
+                labels[i, :k] = s["labels"][:k]
+                counts[i] = k
+            imgs.flush()
+            np.save(p["boxes"], boxes)
+            np.save(p["labels"], labels)
+            np.save(p["counts"], counts)
+            with open(p["done"], "w") as f:
+                f.write("ok")
+        return {
+            "images": np.load(p["images"], mmap_mode="r"),
+            "boxes": np.load(p["boxes"]),
+            "labels": np.load(p["labels"]),
+            "counts": np.load(p["counts"]),
+        }
 
     @property
     def num_classes(self) -> int:
@@ -188,7 +245,7 @@ class DetBenchDataset:
     def __len__(self):
         return self.n
 
-    def __getitem__(self, idx: int):
+    def _generate(self, idx: int):
         rng = np.random.default_rng((self.seed, int(idx)))
         img, boxes, labels = make_sample(
             rng, self.img_size,
@@ -197,3 +254,13 @@ class DetBenchDataset:
             max_overlap_iou=self.spec["max_overlap_iou"],
         )
         return {"image": img, "boxes_xyxy": boxes, "labels": labels}
+
+    def __getitem__(self, idx: int):
+        if self._mm is None:
+            return self._generate(idx)
+        k = int(self._mm["counts"][idx])
+        return {
+            "image": np.asarray(self._mm["images"][idx]),
+            "boxes_xyxy": self._mm["boxes"][idx, :k].copy(),
+            "labels": self._mm["labels"][idx, :k].copy(),
+        }

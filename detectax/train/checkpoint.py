@@ -54,12 +54,16 @@ class CheckpointManager:
         )
         return state, step
 
-    def restore_params(self, template: Any) -> tuple[Any, int] | None:
+    def restore_params(
+        self, template: Any, use_ema: bool = False
+    ) -> tuple[Any, int] | None:
         """Restore only ``params``/``batch_stats`` (+step) into the template.
 
         For inference: ignores optimizer state entirely, so checkpoints are
         loadable regardless of which optimizer trained them (SGD vs Adam
-        opt_state pytrees differ).
+        opt_state pytrees differ). With ``use_ema=True``, loads the
+        EMA-averaged weights (``ema_params``, trainers' --ema_decay) as the
+        inference params.
         """
         step = self._mgr.latest_step()
         if step is None:
@@ -68,8 +72,16 @@ class CheckpointManager:
         # whatever opt_state pytree the trainer used; we keep only params +
         # batch_stats.
         restored = self._mgr.restore(step)
+        params = restored["params"]
+        if use_ema:
+            ema = restored.get("ema_params")
+            if ema is None:
+                raise ValueError(
+                    "checkpoint has no ema_params — train with --ema_decay"
+                )
+            params = ema
         state = template.replace(
-            params=restored["params"], batch_stats=restored["batch_stats"]
+            params=params, batch_stats=restored["batch_stats"]
         )
         return state, step
 

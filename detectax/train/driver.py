@@ -52,6 +52,9 @@ class TrainConfig:
     # positive cells — FCOS-paper convention, needed from scratch)
     loss_norm: str = "batch"
     warmup_steps: int = 0
+    # EMA of params (0 = off). New capability beyond the reference; the
+    # averaged weights live in state.ema_params and evaluate/--ema uses them.
+    ema_decay: float = 0.0
     # observability
     ckpt_dir: str = "ckpt"
     display_step: int = 50
@@ -195,7 +198,8 @@ def fit(
     )
     sample = jnp.zeros((cfg.batch_size, canvas_max, canvas_max, 3))
     state = create_train_state(
-        model, jax.random.PRNGKey(cfg.seed), sample, optimizer
+        model, jax.random.PRNGKey(cfg.seed), sample, optimizer,
+        ema=cfg.ema_decay > 0.0,
     )
     if cfg.init_backbone:
         state = load_backbone_weights(state, cfg.init_backbone)
@@ -208,6 +212,7 @@ def fit(
             microbatch=cfg.microbatch, jit=False,
             normalize=cfg.normalize if cfg.device_normalize else None,
             loss_norm=cfg.loss_norm,
+            ema_decay=cfg.ema_decay or None,
         )
         step_fn = mesh_lib.make_sharded_train_step(
             raw_step, mesh, state_shardings=shardings
@@ -218,6 +223,7 @@ def fit(
             model, assign_fn, loss_fn, optimizer, microbatch=cfg.microbatch,
             normalize=cfg.normalize if cfg.device_normalize else None,
             loss_norm=cfg.loss_norm,
+            ema_decay=cfg.ema_decay or None,
         )
 
     ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=cfg.max_to_keep)
@@ -300,11 +306,15 @@ def fit(
     return summary
 
 
-def restore_for_inference(cfg_ckpt_dir: str, model, canvas: int, optimizer=None):
+def restore_for_inference(
+    cfg_ckpt_dir: str, model, canvas: int, optimizer=None,
+    use_ema: bool = False,
+):
     """Build a state template and restore the latest checkpoint for infer.
 
     Restores params/batch_stats only, so any trainer's checkpoint loads
-    regardless of the optimizer that produced it.
+    regardless of the optimizer that produced it. ``use_ema=True`` loads
+    the EMA-averaged weights instead of the raw params.
     """
     opt = optimizer or make_optimizer(
         "sgd", make_schedule("constant", init_lr=1e-3)
@@ -313,7 +323,7 @@ def restore_for_inference(cfg_ckpt_dir: str, model, canvas: int, optimizer=None)
         model, jax.random.PRNGKey(0), jnp.zeros((1, canvas, canvas, 3)), opt
     )
     ckpt = CheckpointManager(cfg_ckpt_dir)
-    restored = ckpt.restore_params(template)
+    restored = ckpt.restore_params(template, use_ema=use_ema)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {cfg_ckpt_dir}")
     state, step = restored

@@ -32,10 +32,13 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # exponential moving average of params (None = disabled; an empty
+    # pytree keeps checkpoints structure-compatible either way)
+    ema_params: Any = None
 
 
 def create_train_state(
-    model, rng, sample_batch_images, optimizer
+    model, rng, sample_batch_images, optimizer, ema: bool = False
 ) -> TrainState:
     # jit the init: unjitted flax init dispatches op-by-op, which is
     # pathologically slow through a remote-dispatch TPU backend
@@ -48,6 +51,7 @@ def create_train_state(
         params=params,
         batch_stats=batch_stats,
         opt_state=optimizer.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
     )
 
 
@@ -61,6 +65,7 @@ def make_train_step(
     jit: bool = True,
     normalize: str | None = None,
     loss_norm: str = "batch",
+    ema_decay: float | None = None,
 ):
     """Build the jitted train step.
 
@@ -198,11 +203,20 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         new_params = optax.apply_updates(state.params, updates)
+        if ema_decay is not None and state.ema_params is not None:
+            d = ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + (1.0 - d) * p,
+                state.ema_params, new_params,
+            )
+        else:
+            new_ema = state.ema_params
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)

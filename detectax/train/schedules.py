@@ -77,6 +77,15 @@ def make_schedule(kind: str, **kwargs) -> optax.Schedule:
         return epoch_decay(**kwargs)
     if kind == "constant":
         return optax.constant_schedule(kwargs["init_lr"])
+    if kind == "cosine":
+        # new capability (no reference counterpart): cosine decay to
+        # alpha*init_lr over decay_steps — the modern default for
+        # from-scratch detector training
+        return optax.cosine_decay_schedule(
+            kwargs["init_lr"],
+            decay_steps=kwargs["decay_steps"],
+            alpha=kwargs.get("alpha", 0.01),
+        )
     raise ValueError(f"unknown schedule kind {kind!r}")
 
 

@@ -36,6 +36,20 @@ def test_sample_properties():
     assert max(seen) < len(CLASS_NAMES)
 
 
+def test_memmap_cache_matches_generator(tmp_path, monkeypatch):
+    monkeypatch.setenv("DETECTAX_DETBENCH_CACHE", str(tmp_path))
+    cached = DetBenchDataset("eval", n=6)  # materializes under tmp_path
+    raw = DetBenchDataset("eval", n=6, cache=False)
+    for i in (0, 3, 5):
+        a, b = cached[i], raw[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_allclose(a["boxes_xyxy"], b["boxes_xyxy"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+    # second instantiation reuses the cache files
+    again = DetBenchDataset("eval", n=6)
+    np.testing.assert_array_equal(again[3]["image"], raw[3]["image"])
+
+
 def test_loader_integration():
     from detectax.data.pipeline import Loader
 

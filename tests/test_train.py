@@ -144,6 +144,29 @@ def test_warmup_schedule():
     assert float(s(50)) == pytest.approx(float(base(50)))
 
 
+def test_ema_params_track_weights():
+    model = FCOS(num_classes=NC, backbone="mobilenetv2")
+    opt = make_optimizer("sgd", exponential_with_floor(1e-2), grad_clip=1.0)
+    loss_fn = functools.partial(det_losses.fcos_loss, reg_type="l1")
+    step_fn = make_train_step(
+        model, _fcos_assign, loss_fn, opt, donate=False, ema_decay=0.5
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, IMG, IMG, 3)), opt,
+        ema=True,
+    )
+    batch = _batch()
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state, _ = step_fn(state, batch)
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    e1 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    # ema = 0.5*p0 + 0.5*p1 after one step
+    np.testing.assert_allclose(
+        np.asarray(e1), 0.5 * np.asarray(p0) + 0.5 * np.asarray(p1),
+        atol=1e-6,
+    )
+
+
 def test_eval_forward_uses_running_stats():
     model, _, step_fn, state = _make_everything()
     batch = _batch()
