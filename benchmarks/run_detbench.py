@@ -28,11 +28,12 @@ FAMILIES = {
     "fcos": {
         "train": "detectax.cli.train_fcos",
         "args": ["--canvas", "384", "--init_lr", "0.01",
-                 "--decay_steps", "2000"],
+                 "--decay_steps", "4000"],
     },
     "fcos_center": {
         "train": "detectax.cli.train_fcos_center_voc",
-        "args": ["--canvas", "384", "--init_lr", "1e-3"],
+        "args": ["--canvas", "384", "--optimizer", "sgd",
+                 "--init_lr", "0.01"],
     },
     "fcos_center_v1": {
         "train": "detectax.cli.train_fcos_center_v1_voc",
@@ -41,13 +42,15 @@ FAMILIES = {
     "centernet_s8": {
         "train": "detectax.cli.train_centernet_crowdhuman",
         "args": ["--canvas", "512", "--init_lr", "0.01",
-                 "--lr_boundaries", "2000", "2500"],
+                 "--lr_boundaries", "3000", "3500"],
     },
     "centernet_heatmap": {
         "train": "detectax.cli.train_centernet_heatmap",
-        "args": ["--canvas", "384", "--init_lr", "1e-3"],
+        "args": ["--canvas", "384", "--optimizer", "sgd",
+                 "--init_lr", "0.01"],
     },
     "hourglass": {
+        # fixed architecture (no backbone); reference Adam kept
         "train": "detectax.cli.train_hourglass_voc",
         "args": ["--canvas", "320", "--batch_size", "32",
                  "--n_filters", "12", "--steps_per_epoch", "1000",
@@ -57,7 +60,7 @@ FAMILIES = {
     "retinanet": {
         "train": "detectax.cli.train_retinanet_coco",
         "args": ["--canvas", "512", "--init_lr", "0.01",
-                 "--lr_boundaries", "2000"],
+                 "--lr_boundaries", "3000"],
     },
 }
 
@@ -87,9 +90,10 @@ def run(cmd, log_path):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--families", nargs="+", default=list(FAMILIES))
-    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--backbone", default="mobilenetv2",
+                   help="from-scratch default: MobileNetV2 (the reference FCOS inference backbone) — ResNet-50 from random init needs far more steps to move off the focal bias")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--run_root", default=os.path.join(REPO, "benchmarks", "runs"))
