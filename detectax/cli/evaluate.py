@@ -110,7 +110,9 @@ def main(argv=None):
     p.add_argument("--box_scales", type=float, nargs="+",
                    default=[32.0, 64.0, 128.0, 256.0, 512.0])
     p.add_argument("--anchor_sizes", type=float, nargs="+",
-                   default=[32.0, 64.0, 128.0, 256.0, 512.0])
+                   default=[20.0, 40.0, 80.0, 160.0, 320.0],
+                   help="must match training (train_retinanet_coco "
+                        "reference default)")
     p.add_argument("--n_filters", type=int, default=12,
                    help="hourglass width (must match training)")
     p.add_argument("--max_outputs", type=int, default=100)
