@@ -35,6 +35,11 @@ def main(argv=None):
                         "stretched and center-padded (reference "
                         "train_centernet_crowdhuman.py:53-62)")
     p.add_argument("--min_scale", type=float, default=0.7)
+    p.add_argument("--gaussian_cls", action="store_true",
+                   help="Gaussian-smoothed class targets (CenterNet "
+                        "heatmap style) instead of the reference's lone "
+                        "one-hot centroid cell — needed for from-scratch "
+                        "training; regression stays centroid-only")
     p.add_argument("--base_dims", type=int, default=448,
                    help="reference base_rows/base_cols (=448)")
     args = p.parse_args(argv)
@@ -70,6 +75,7 @@ def main(argv=None):
         out, _ = assign.centernet_scale_slot_assign(
             boxes, labels, valid, img_dim=img, num_classes=nc,
             box_scales=tuple(args.box_scales),
+            gaussian_cls=args.gaussian_cls,
         )
         return out
 

@@ -419,6 +419,7 @@ def centernet_scale_slot_assign(
     num_classes: int,
     box_scales: Sequence[float] = (32.0, 64.0, 128.0, 256.0, 512.0),
     stride: int = 8,
+    gaussian_cls: bool = False,
 ):
     """Single stride-8 map with S scale slots; centroid-only assignment.
 
@@ -428,6 +429,13 @@ def centernet_scale_slot_assign(
     the image is center-padded into ``img_pad``, regression is
     ``(y_off/stride, x_off/stride, h/scale, w/scale)`` at the centroid cell.
     Output ``[hm, wm, S, 4+nc]`` with layout ``[reg(4), one_hot(nc)]``.
+
+    ``gaussian_cls=True`` (no reference counterpart) splats a CenterNet-
+    style Gaussian (peak 1.0 at the centroid cell, sigma from box size)
+    into the assigned slot's class channel instead of a lone one-hot
+    cell. The reference's point supervision (one positive cell per
+    object) is too sparse to train from random init — the loss keys
+    positives on ``cls >= 1.0`` so regression stays centroid-only.
     """
     img_pad = img_pad or img_dim
     hm = int(img_pad[0]) // stride
@@ -468,7 +476,30 @@ def centernet_scale_slot_assign(
 
     cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
     has_f = has[..., None].astype(jnp.float32)
-    out = jnp.concatenate([reg[owner] * has_f, cls * has_f], axis=-1)
+    cls = cls * has_f
+    if gaussian_cls:
+        # per-GT spatial Gaussian, peak 1.0 at its centroid cell
+        gy = jy.astype(jnp.float32)[:, None, None]       # [hm,1,1]
+        gx = jx.astype(jnp.float32)[None, :, None]       # [1,wm,1]
+        sigma = jnp.maximum(1.0, jnp.sqrt(area) / (3.0 * stride))  # [N]
+        d2 = (
+            (gy - y_cell.astype(jnp.float32)[None, None, :]) ** 2
+            + (gx - x_cell.astype(jnp.float32)[None, None, :]) ** 2
+        )                                                # [hm,wm,N]
+        g = jnp.exp(-d2 / (2.0 * sigma[None, None, :] ** 2))
+        g = jnp.where(valid[None, None, :], g, 0.0)
+        # route each GT's Gaussian to its (slot, class) channel; max-combine
+        slot_hit = (
+            js[None, None, :, None] == slot[None, None, None, :]
+        )                                                # [1,1,S,N]
+        onehot_n = jnn.one_hot(gt_labels, num_classes, dtype=jnp.float32)
+        contrib = (
+            g[:, :, None, :, None]                       # [hm,wm,1,N,1]
+            * slot_hit[..., None]                        # [1,1,S,N,1]
+            * onehot_n[None, None, None, :, :]           # [1,1,1,N,nc]
+        )
+        cls = jnp.maximum(cls, jnp.max(contrib, axis=3))  # keep exact peaks
+    out = jnp.concatenate([reg[owner] * has_f, cls], axis=-1)
     return out, jnp.sum(valid.astype(jnp.int32))
 
 

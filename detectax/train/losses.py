@@ -96,9 +96,13 @@ def centernet_s8_loss(
     cls_lambda: float = 1.0,
     reg_lambda: float = 1.0,
 ):
-    """Scale-slot loss over [B, h, w, S, 4+nc] maps."""
+    """Scale-slot loss over [B, h, w, S, 4+nc] maps.
+
+    Positives are cells whose class target reaches 1.0 — identical to
+    (obj > 0) for the reference's one-hot targets, and keeps regression
+    centroid-only under `gaussian_cls` soft targets (tails < 1.0)."""
     obj = jnp.max(y_true[..., 4:], axis=-1)
-    mask = (obj > 0).astype(jnp.float32)
+    mask = (obj >= 1.0 - 1e-6).astype(jnp.float32)
     cls_loss = focal_loss(y_true[..., 4:], y_pred[..., 4:])
     reg_loss = smooth_l1_loss(y_true[..., :4], y_pred[..., :4], mask=mask)
     total = cls_lambda * cls_loss + reg_lambda * reg_loss

@@ -196,6 +196,41 @@ def test_centernet_scale_slot_assign_with_padding():
     np.testing.assert_allclose(out[jy, jx, slot, 2], 96 / 128, atol=1e-5)
 
 
+def test_centernet_scale_slot_gaussian_cls():
+    img = (256, 256)
+    boxes = [[0.5, 0.5, 0.5, 0.25]]  # 128x64 px -> slot 3 (scale 256)
+    gt, lb, vd = _pad_gt(boxes, [1])
+    hard, _ = assign.centernet_scale_slot_assign(
+        gt, lb, vd, img_dim=img, num_classes=NC
+    )
+    soft, _ = assign.centernet_scale_slot_assign(
+        gt, lb, vd, img_dim=img, num_classes=NC, gaussian_cls=True
+    )
+    hard, soft = np.asarray(hard), np.asarray(soft)
+    # regression channels identical (centroid-only either way)
+    np.testing.assert_array_equal(hard[..., :4], soft[..., :4])
+    # the one-hot peak survives at exactly 1.0, same cell/slot/class
+    peak_hard = np.argwhere(hard[..., 4:] >= 1.0)
+    peak_soft = np.argwhere(soft[..., 4:] >= 1.0)
+    np.testing.assert_array_equal(peak_hard, peak_soft)
+    assert len(peak_soft) == 1
+    jy, jx, slot, c = peak_soft[0]
+    # neighbors in the same slot/class carry Gaussian tails in (0, 1)
+    tail = soft[jy, jx + 2, slot, 4 + c]
+    assert 0.0 < tail < 1.0
+    assert hard[jy, jx + 2, slot, 4 + c] == 0.0
+    # other slots stay empty
+    other = np.delete(soft[..., 4:], slot, axis=2)
+    assert other.max() == 0.0
+    # loss positives: only the peak counts
+    from detectax.train.losses import centernet_s8_loss
+
+    m = centernet_s8_loss(
+        jnp.asarray(soft[None]), jnp.asarray(np.zeros_like(soft)[None])
+    )
+    assert int(m["num_pos"]) == 1
+
+
 def test_hourglass_assign_layout():
     img = (256, 256)
     boxes = [[0.5, 0.5, 0.2, 0.2], [0.25, 0.25, 0.9, 0.9]]
