@@ -198,7 +198,55 @@ def bench_decode_nms():
     print(json.dumps(result))
 
 
+def _probe_backend(timeout_s: float = 150.0) -> None:
+    """Fail fast with a diagnostic JSON line if the TPU backend is down.
+
+    The axon relay fails by *hanging* `jax.devices()` (round-2 outage), so
+    an in-thread probe with a watchdog is the only reliable detector. On
+    timeout or error we print one machine-readable line and exit(1) so the
+    driver records a diagnosis instead of a traceback/hang.
+    """
+    import threading
+
+    result: dict = {}
+
+    def probe():
+        try:
+            devs = jax.devices()
+            # devices() can succeed from cache while the relay is dead —
+            # force one tiny execution round-trip.
+            val = float(jnp.ones(()) + 1.0)
+            result["ok"] = True
+            result["device"] = str(devs[0])
+            result["probe_value"] = val
+        except Exception as e:  # pragma: no cover
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if result.get("ok"):
+        return
+    diag = {
+        "metric": "bench_backend_unreachable",
+        "value": 0,
+        "unit": "error",
+        "vs_baseline": 0,
+        "detail": {
+            "reason": result.get(
+                "error", f"jax backend probe hung >{timeout_s:.0f}s"
+            ),
+            "jax_platforms": os.environ.get("JAX_PLATFORMS", ""),
+            "hint": "axon TPU relay down (see round-2 outage); "
+            "retry when relay restored",
+        },
+    }
+    print(json.dumps(diag), flush=True)
+    os._exit(1)
+
+
 def main():
+    _probe_backend()
     bench_train()
     if os.environ.get("BENCH_SKIP_NMS") != "1":
         bench_decode_nms()

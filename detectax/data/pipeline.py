@@ -309,6 +309,20 @@ class Loader:
         self.max_boxes = max_boxes
         self.mode = mode
         self.pad_position = pad_position
+        # jitter is in PIXEL units in both modes: the content's short side
+        # (resize_pad) or square side (stretch). Reject fractional-looking
+        # values early — jitter=(0.8, 1.0) would silently yield 1-px
+        # content (advisor finding, round 2).
+        if jitter is not None:
+            lo, hi = float(jitter[0]), float(jitter[1])
+            if lo > hi:
+                raise ValueError(f"jitter range is reversed: {jitter!r}")
+            if lo < 2.0:
+                raise ValueError(
+                    f"jitter={jitter!r} looks like fractional scale "
+                    "factors; jitter takes absolute pixel side lengths "
+                    "(e.g. (307, 512) for 0.6-1.0x of a 512 canvas)"
+                )
         self.jitter = jitter
         # one shared jitter draw per batch (reference CrowdHuman "use only
         # one image resolution to train", train_centernet_crowdhuman.py:52)

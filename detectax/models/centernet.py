@@ -289,6 +289,9 @@ class StackedHourglass(nn.Module):
             4 + self.num_classes, (3, 3), padding="SAME", dtype=self.dtype,
             name="cnn_out",
         )(h)
-        reg = nn.sigmoid(head[..., :4])
+        # reg heads are RAW (no sigmoid): parity with
+        # `tf_centernet_hourglass.py:340-352` — targets are ltrb
+        # half-extents in stride units, unbounded above 1.
+        reg = head[..., :4]
         cls = FocalBias(name="b_focal")(head[..., 4:])
         return jnp.concatenate([reg, cls], axis=-1).astype(jnp.float32)

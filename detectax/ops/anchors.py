@@ -66,15 +66,19 @@ def has_anchor_targets_np(
     iou_thresh: float = 0.5,
 ) -> bool:
     """Host-side (numpy) predicate: would anchor-IoU assignment produce at
-    least one positive for this image on a stretched canvas?
+    least one positive for this image on a stretched canvas — under BOTH
+    flip orientations?
 
     Mirrors the reference trainer's skip-zero-target batch composition
     (`RetinaNet/train_retinanet_coco.py:198-205`: images whose
     ``format_data`` yields ``n_labels == 0`` are excluded from every
-    batch). Assignment under ``stretch`` geometry is deterministic (and
-    mirror-symmetric, so the flip augment cannot change the outcome),
-    which lets the dataset be filtered once up front instead of
-    re-sampled 3x per step.
+    batch). Assignment under ``stretch`` geometry is deterministic, but
+    the anchor grid at ``k * stride`` is NOT mirror-symmetric (the mirror
+    of the x=0 anchor column lands off-grid at ``wm * stride``), so a box
+    matched only by an edge anchor could lose all positives on flipped
+    steps. The predicate therefore checks the horizontally mirrored boxes
+    too and requires positives in both orientations, so no flipped step
+    can see a zero-positive image after the up-front filter.
     """
     import numpy as np
 
@@ -82,40 +86,50 @@ def has_anchor_targets_np(
     if len(boxes) == 0:
         return False
     ch, cw = canvas
-    # GT corners in pixels (stretch: normalized * canvas)
-    gx1 = boxes[:, 0] * cw
-    gy1 = boxes[:, 1] * ch
-    gx2 = boxes[:, 2] * cw
-    gy2 = boxes[:, 3] * ch
-    g_area = np.maximum(0.0, gx2 - gx1) * np.maximum(0.0, gy2 - gy1)
     shapes = [
         np.asarray(a) for a in anchor_shapes_per_level(
             anchor_sizes, aspect_ratios, anchor_scales
         )
     ]
-    for stride, anchors_hw in zip(strides, shapes):
-        hm, wm = ch // stride, cw // stride
-        ay = (np.arange(hm, dtype=np.float32) * stride)[:, None, None]
-        ax = (np.arange(wm, dtype=np.float32) * stride)[None, :, None]
-        ah = anchors_hw[None, None, :, 0]
-        aw = anchors_hw[None, None, :, 1]
-        # broadcast (hm, wm, A) fully before flattening
-        ay1 = np.broadcast_to(ay - ah / 2, (hm, wm, len(anchors_hw))).reshape(-1, 1)
-        ax1 = np.broadcast_to(ax - aw / 2, (hm, wm, len(anchors_hw))).reshape(-1, 1)
-        ay2 = np.broadcast_to(ay + ah / 2, (hm, wm, len(anchors_hw))).reshape(-1, 1)
-        ax2 = np.broadcast_to(ax + aw / 2, (hm, wm, len(anchors_hw))).reshape(-1, 1)
-        ih = np.maximum(
-            0.0, np.minimum(ay2, gy2[None, :]) - np.maximum(ay1, gy1[None, :])
-        )
-        iw = np.maximum(
-            0.0, np.minimum(ax2, gx2[None, :]) - np.maximum(ax1, gx1[None, :])
-        )
-        inter = ih * iw
-        a_area = (ay2 - ay1) * (ax2 - ax1)
-        iou = inter / np.maximum(a_area + g_area[None, :] - inter, 1e-8)
-        if (iou > iou_thresh).any():
-            return True
-    return False
+
+    def any_positive(gx1, gy1, gx2, gy2):
+        g_area = np.maximum(0.0, gx2 - gx1) * np.maximum(0.0, gy2 - gy1)
+        for stride, anchors_hw in zip(strides, shapes):
+            hm, wm = ch // stride, cw // stride
+            ay = (np.arange(hm, dtype=np.float32) * stride)[:, None, None]
+            ax = (np.arange(wm, dtype=np.float32) * stride)[None, :, None]
+            ah = anchors_hw[None, None, :, 0]
+            aw = anchors_hw[None, None, :, 1]
+            # broadcast (hm, wm, A) fully before flattening
+            sh = (hm, wm, len(anchors_hw))
+            ay1 = np.broadcast_to(ay - ah / 2, sh).reshape(-1, 1)
+            ax1 = np.broadcast_to(ax - aw / 2, sh).reshape(-1, 1)
+            ay2 = np.broadcast_to(ay + ah / 2, sh).reshape(-1, 1)
+            ax2 = np.broadcast_to(ax + aw / 2, sh).reshape(-1, 1)
+            ih = np.maximum(
+                0.0,
+                np.minimum(ay2, gy2[None, :]) - np.maximum(ay1, gy1[None, :]),
+            )
+            iw = np.maximum(
+                0.0,
+                np.minimum(ax2, gx2[None, :]) - np.maximum(ax1, gx1[None, :]),
+            )
+            inter = ih * iw
+            a_area = (ay2 - ay1) * (ax2 - ax1)
+            iou = inter / np.maximum(a_area + g_area[None, :] - inter, 1e-8)
+            if (iou > iou_thresh).any():
+                return True
+        return False
+
+    # GT corners in pixels (stretch: normalized * canvas)
+    gx1 = boxes[:, 0] * cw
+    gy1 = boxes[:, 1] * ch
+    gx2 = boxes[:, 2] * cw
+    gy2 = boxes[:, 3] * ch
+    if not any_positive(gx1, gy1, gx2, gy2):
+        return False
+    # horizontally mirrored orientation (the flip augment's geometry)
+    return any_positive(cw - gx2, gy1, cw - gx1, gy2)
 
 
 def decode_anchor_regression(

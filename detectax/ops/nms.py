@@ -29,8 +29,9 @@ from detectax.ops.boxes import pairwise_iou_corners
 
 # Candidate-count threshold above which hard-NMS suppression runs as the
 # Pallas kernel (never materializes the [K, K] IoU matrix) instead of the
-# XLA fori-loop over a precomputed matrix. Set from measured TPU A/B
-# numbers (benchmarks/pallas_ab.py; see BASELINE.md).
+# XLA fori-loop over a precomputed matrix. To be pinned from the TPU A/B
+# harness (benchmarks/pallas_ab.py); until those numbers land in
+# BASELINE.md this is an estimate, not a measurement.
 PALLAS_SUPPRESSION_MIN_K = 512
 
 

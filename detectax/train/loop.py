@@ -82,8 +82,10 @@ def make_train_step(
         positive-cell count (FCOS-paper convention — required for stable
         from-scratch training, where sum-scale losses collide with the
         global-norm gradient clip). "pos" needs a loss_fn that returns a
-        "num_pos" entry. With microbatching, each chunk normalizes by its
-        own positives.
+        "num_pos" entry. With microbatching, chunk sums are accumulated
+        unnormalized and divided once by the batch's global positive
+        count, so gradients match the non-microbatch step bit-for-bit in
+        expectation regardless of how positives fall across chunks.
 
     Returns ``step(state, batch) -> (state, metrics)`` where batch is a
     dict of ``images [B,H,W,3]``, ``boxes [B,N,4]``, ``labels [B,N]``,
@@ -96,7 +98,8 @@ def make_train_step(
     # the canvas comes from the (static-under-jit) batch image shape.
     assign_takes_hw = len(inspect.signature(assign_fn).parameters) >= 4
 
-    def forward_loss(params, batch_stats, images, y_true, batch_size):
+    def forward_loss(params, batch_stats, images, y_true, batch_size,
+                     raw=False):
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
@@ -104,6 +107,11 @@ def make_train_step(
             mutable=["batch_stats"],
         )
         losses = loss_fn(y_true, preds)
+        if raw:
+            # unnormalized per-chunk sums (num_pos kept in the dict so the
+            # scan accumulates it); the step divides once by the batch's
+            # global positive count after accumulation
+            return losses["total"], (losses, mutated["batch_stats"])
         if loss_norm == "pos":
             denom = jnp.maximum(losses["num_pos"], 1.0)
         else:
@@ -116,6 +124,10 @@ def make_train_step(
         return losses["total"], (losses, mutated["batch_stats"])
 
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+    grad_fn_raw = jax.value_and_grad(
+        lambda p, bs, im, yt, b: forward_loss(p, bs, im, yt, b, raw=True),
+        has_aux=True,
+    )
 
     def _normalize(images):
         # on-device normalization: the host ships uint8 (4x less traffic)
@@ -159,10 +171,12 @@ def make_train_step(
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
 
+            chunk_grad_fn = grad_fn_raw if loss_norm == "pos" else grad_fn
+
             def scan_body(carry, chunk):
                 acc_grads, acc_losses, bs = carry
                 imgs, yt = chunk
-                (_, (losses, new_bs)), grads = grad_fn(
+                (_, (losses, new_bs)), grads = chunk_grad_fn(
                     state.params, bs, imgs, yt, float(bsz)
                 )
                 acc_grads = jax.tree_util.tree_map(
@@ -190,14 +204,15 @@ def make_train_step(
                 (images_c, y_true_c),
             )
             if loss_norm == "pos":
-                # each chunk normalized by its own positives; average the
-                # chunk means so the scale matches the non-microbatch step
-                num_pos = losses.pop("num_pos", None)
-                inv = 1.0 / n_chunks
+                # chunks accumulated *unnormalized* (raw grad fn); divide
+                # once by the batch's global positive count so gradients
+                # match the non-microbatch step exactly, however unevenly
+                # positives fall across chunks
+                num_pos = losses.pop("num_pos")
+                inv = 1.0 / jnp.maximum(num_pos, 1.0)
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
                 losses = jax.tree_util.tree_map(lambda v: v * inv, losses)
-                if num_pos is not None:
-                    losses["num_pos"] = num_pos
+                losses["num_pos"] = num_pos
 
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params

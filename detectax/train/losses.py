@@ -41,8 +41,9 @@ from detectax.ops.losses import (
 )
 
 if os.environ.get("DETECTAX_PALLAS_FOCAL", "0") == "1":
-    # Pallas fused focal kernel (A/B-tested vs XLA; same numerics). XLA's
-    # fusion already matches it at these sizes, so it's opt-in.
+    # Pallas fused focal kernel. Numerics verified equal to the XLA path
+    # (tests/test_pallas_kernels.py); the perf A/B (benchmarks/pallas_ab.py)
+    # decides whether it ever becomes the default — opt-in until then.
     from detectax.ops.pallas.focal import focal_loss_pallas as focal_loss
 else:
     focal_loss = _focal_xla

@@ -46,6 +46,63 @@ def test_checkpoint_max_to_keep(tmp_path):
     mgr.close()
 
 
+def test_restore_params_cross_optimizer(tmp_path):
+    """Pin the raw-restore contract of restore_params (advisor finding):
+    a checkpoint saved with an SGD opt_state must load via restore_params
+    into an Adam-template state (opt_state pytrees differ), both the plain
+    and use_ema branches."""
+    params = {"w": jnp.full((4, 4), 2.5), "b": jnp.zeros((4,))}
+    sgd = optax.sgd(0.1, momentum=0.9)
+    state_sgd = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params=params,
+        batch_stats={"bn": {"mean": jnp.full((4,), 0.25)}},
+        opt_state=sgd.init(params),
+        ema_params={"w": jnp.full((4, 4), 9.0), "b": jnp.ones((4,))},
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, state_sgd)
+    mgr.wait()
+    mgr.close()
+
+    adam = optax.adam(1e-3)
+    zeros = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    template = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=zeros,
+        batch_stats={"bn": {"mean": jnp.zeros((4,))}},
+        opt_state=adam.init(zeros),
+        ema_params=None,
+    )
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored, step = mgr2.restore_params(template)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 2.5)
+    np.testing.assert_allclose(
+        np.asarray(restored.batch_stats["bn"]["mean"]), 0.25
+    )
+    # template's optimizer state untouched (Adam, not the saved SGD)
+    assert restored.opt_state is template.opt_state
+
+    ema_state, _ = mgr2.restore_params(template, use_ema=True)
+    np.testing.assert_allclose(np.asarray(ema_state.params["w"]), 9.0)
+    mgr2.close()
+
+
+def test_restore_params_no_ema_raises(tmp_path):
+    state = _tiny_state(1.0)  # ema_params=None
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    mgr.wait()
+    try:
+        mgr.restore_params(_tiny_state(0.0), use_ema=True)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    mgr.close()
+
+
 def test_metrics_logger_csv_resume(tmp_path):
     csv_path = str(tmp_path / "losses.csv")
     log = MetricsLogger(csv_path=csv_path)

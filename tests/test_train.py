@@ -107,8 +107,8 @@ def test_microbatch_matches_full_batch_grads():
 
 def test_pos_loss_norm_scale_and_microbatch_match():
     """loss_norm="pos" divides by positive-cell count, and the microbatch
-    path averages per-chunk means so its scale matches the full-batch step
-    (identical-image batch isolates the accumulation from BN stats)."""
+    path accumulates raw sums then divides by the global count, matching
+    the full-batch step (identical-image batch isolates BN stats)."""
     _, _, step_batch, state = _make_everything(loss_norm="batch")
     _, _, step_pos, _ = _make_everything(loss_norm="pos")
     _, _, step_pos_mb, _ = _make_everything(loss_norm="pos", microbatch=1)
@@ -131,6 +131,41 @@ def test_pos_loss_norm_scale_and_microbatch_match():
     np.testing.assert_allclose(
         float(mp["grad_norm"]), float(mpm["grad_norm"]), rtol=1e-2
     )
+
+
+def test_pos_norm_microbatch_uneven_positives():
+    """Microbatch + loss_norm="pos" must match the full-batch step even
+    when positives fall unevenly across chunks (one chunk has zero valid
+    boxes). freeze_bn isolates the accumulation from per-chunk BN stats.
+    Guards the round-3 fix: chunks accumulate unnormalized and divide once
+    by the global positive count (advisor finding, train/loop.py)."""
+    model = FCOS(num_classes=NC, backbone="mobilenetv2", freeze_bn=True)
+    opt = make_optimizer("sgd", exponential_with_floor(1e-2), grad_clip=1.0)
+    loss_fn = functools.partial(det_losses.fcos_loss, reg_type="l1")
+    kw = dict(donate=False, jit=True, loss_norm="pos")
+    step_full = make_train_step(model, _fcos_assign, loss_fn, opt, **kw)
+    step_mb = make_train_step(
+        model, _fcos_assign, loss_fn, opt, microbatch=1, **kw
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, IMG, IMG, 3)), opt
+    )
+    batch = _batch(n=2)
+    # second example: no valid boxes -> zero positives in its chunk
+    batch["valid"] = batch["valid"].at[1].set(False)
+    sa, ma = step_full(state, batch)
+    sb, mb = step_mb(state, batch)
+    np.testing.assert_allclose(
+        float(ma["total"]), float(mb["total"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(ma["grad_norm"]), float(mb["grad_norm"]), rtol=1e-3
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sa.params),
+        jax.tree_util.tree_leaves(sb.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_warmup_schedule():
