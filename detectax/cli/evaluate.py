@@ -25,13 +25,14 @@ from detectax.models import (
     CenterNetS8,
     HourglassNet,
     RetinaNet,
+    StackedHourglass,
 )
 from detectax.ops import anchors as anchor_lib
 from detectax.train.driver import restore_for_inference
 
 FAMILIES = (
     "fcos", "fcos_center", "fcos_center_v1", "centernet_s8",
-    "centernet_heatmap", "hourglass", "retinanet",
+    "centernet_heatmap", "hourglass", "stacked_hourglass", "retinanet",
 )
 
 # Training-time preprocessing per family (mirrors the trainer CLIs; see
@@ -44,6 +45,7 @@ TRAIN_GEOMETRY = {
     "centernet_s8": ("stretch", "center", "unit", 512),
     "centernet_heatmap": ("resize_pad", "topleft", "tf", 384),
     "hourglass": ("resize_pad", "center", "tf", 320),
+    "stacked_hourglass": ("resize_pad", "center", "tf", 320),
     "retinanet": ("stretch", "topleft", "tf", 512),
 }
 
@@ -75,6 +77,14 @@ def build_family(family, nc, backbone, canvas, args):
         model = HourglassNet(num_classes=nc, n_filters=args.n_filters)
         scales = tuple(canvas / (2.0 ** x) for x in reversed(range(4)))
         return model, lambda out: P.hourglass_decode(out, box_scales=scales)
+    if family == "stacked_hourglass":
+        model = StackedHourglass(
+            num_classes=nc, n_filters=args.n_filters,
+            n_stacks=args.n_stacks,
+        )
+        return model, lambda out: P.stacked_hourglass_decode(
+            out, stride=model.output_stride
+        )
     if family == "retinanet":
         anchors = anchor_lib.anchor_shapes_per_level(
             anchor_sizes=args.anchor_sizes
@@ -115,6 +125,8 @@ def main(argv=None):
                         "reference default)")
     p.add_argument("--n_filters", type=int, default=12,
                    help="hourglass width (must match training)")
+    p.add_argument("--n_stacks", type=int, default=1,
+                   help="stacked_hourglass stack count (must match training)")
     p.add_argument("--max_outputs", type=int, default=100)
     p.add_argument("--resize_mode", choices=("resize_pad", "stretch"),
                    default=None,

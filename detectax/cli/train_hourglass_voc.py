@@ -14,7 +14,7 @@ import functools
 import jax.numpy as jnp
 
 from detectax.cli._common import add_train_args, config_from_args, dataset_from_args
-from detectax.models import HourglassNet
+from detectax.models import HourglassNet, StackedHourglass
 from detectax.ops import assign
 from detectax.train import losses as det_losses
 from detectax.train.driver import fit
@@ -25,6 +25,15 @@ def main(argv=None):
     add_train_args(p, canvas=320, batch_size=96, init_lr=1e-3,
                    max_steps=10000, microbatch=2)
     p.add_argument("--n_filters", type=int, default=12)
+    p.add_argument(
+        "--variant", choices=("hourglass", "stacked"), default="hourglass",
+        help="'stacked' trains models.StackedHourglass (the reference's "
+             "orphaned tf_centernet_hourglass.py, given a training "
+             "surface here): single stride-4 map, centroid assignment, "
+             "focal + smooth-L1",
+    )
+    p.add_argument("--n_stacks", type=int, default=1,
+                   help="stacked variant: number of hourglass stacks")
     p.add_argument("--loss_type", choices=("sigmoid", "focal"),
                    default="sigmoid")
     p.add_argument("--reg_lambda", type=float, default=0.10)
@@ -49,7 +58,15 @@ def main(argv=None):
     dataset = dataset_from_args(args)
     nc = dataset.num_classes
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = HourglassNet(num_classes=nc, n_filters=args.n_filters, dtype=dtype)
+    if args.variant == "stacked":
+        model = StackedHourglass(
+            num_classes=nc, n_filters=args.n_filters,
+            n_stacks=args.n_stacks, dtype=dtype,
+        )
+    else:
+        model = HourglassNet(
+            num_classes=nc, n_filters=args.n_filters, dtype=dtype
+        )
     cfg = config_from_args(
         args,
         optimizer="adam",
@@ -67,20 +84,32 @@ def main(argv=None):
         cfg.canvas = buckets
         cfg.jitter = None  # discrete buckets replace continuous jitter
 
-    def assign_fn(boxes, labels, valid, img_hw):
-        # scale bins derive from the (per-bucket) canvas, reference
-        # train_hourglass_voc.py:97-98
-        scales = tuple(img_hw[0] / (2.0**x) for x in reversed(range(4)))
-        out, _ = assign.hourglass_assign(
-            boxes, labels, valid, img_dim=tuple(img_hw), num_classes=nc,
-            box_scales=scales,
-        )
-        return out
+    if args.variant == "stacked":
+        stride = model.output_stride
 
-    loss_fn = functools.partial(
-        det_losses.hourglass_loss,
-        loss_type=args.loss_type, reg_lambda=args.reg_lambda,
-    )
+        def assign_fn(boxes, labels, valid, img_hw):
+            out, _ = assign.stacked_hourglass_assign(
+                boxes, labels, valid, img_dim=tuple(img_hw),
+                num_classes=nc, stride=stride,
+            )
+            return out
+
+        loss_fn = det_losses.stacked_hourglass_loss
+    else:
+        def assign_fn(boxes, labels, valid, img_hw):
+            # scale bins derive from the (per-bucket) canvas, reference
+            # train_hourglass_voc.py:97-98
+            scales = tuple(img_hw[0] / (2.0**x) for x in reversed(range(4)))
+            out, _ = assign.hourglass_assign(
+                boxes, labels, valid, img_dim=tuple(img_hw), num_classes=nc,
+                box_scales=scales,
+            )
+            return out
+
+        loss_fn = functools.partial(
+            det_losses.hourglass_loss,
+            loss_type=args.loss_type, reg_lambda=args.reg_lambda,
+        )
     return fit(cfg, model, dataset, assign_fn, loss_fn)
 
 

@@ -115,6 +115,22 @@ def hourglass_decode(
     return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_probs, axis=1)
 
 
+def stacked_hourglass_decode(
+    output: jnp.ndarray,
+    *,
+    stride: int = 4,
+):
+    """Stacked-hourglass decode (`tf_centernet_hourglass.py:355-377`
+    ``prediction_to_corners``): output ``[B,h,w,4+nc]`` with RAW (t,b,l,r)
+    reg in stride units from the cell center (+0.5); corners =
+    ``stride * (grid ∓ reg)``; scores = σ(cls). Default stride 4 — the
+    model's true output stride (see `models.StackedHourglass`)."""
+    b, h, w, _ = output.shape
+    boxes = ltrb_to_corners(output[..., :4], float(stride))
+    probs = _sigmoid(output[..., 4:].astype(jnp.float32))
+    return boxes.reshape(b, -1, 4), probs.reshape(b, h * w, probs.shape[-1])
+
+
 def centernet_heatmap_decode(
     output: jnp.ndarray,
     *,

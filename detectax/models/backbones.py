@@ -27,9 +27,10 @@ class BottleneckBlock(nn.Module):
     needed by the TF weight-port tool, `detectax/tools/port_tf_weights`).
     """
 
-    features: int  # bottleneck width; output is 4x
+    features: int  # bottleneck width; output is `expansion`x
     stride: int = 1
     groups: int = 1
+    expansion: int = 4  # ResNet 4x; ResNeXt 2x (width 128 -> out 256)
     project: bool = False
     stride_first: bool = False
     conv_bias: bool = False
@@ -40,10 +41,11 @@ class BottleneckBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         s1 = self.stride if self.stride_first else 1
         s3 = 1 if self.stride_first else self.stride
+        out_ch = self.expansion * self.features
         shortcut = x
         if self.project:
             shortcut = ConvBN(
-                4 * self.features, kernel=1, stride=self.stride, act=False,
+                out_ch, kernel=1, stride=self.stride, act=False,
                 use_bias=self.conv_bias, bn_eps=self.bn_eps,
                 dtype=self.dtype, name="proj",
             )(x, train)
@@ -54,7 +56,7 @@ class BottleneckBlock(nn.Module):
             self.features, kernel=3, stride=s3, groups=self.groups,
             use_bias=self.conv_bias, bn_eps=self.bn_eps, dtype=self.dtype,
         )(h, train)
-        h = ConvBN(4 * self.features, kernel=1, act=False,
+        h = ConvBN(out_ch, kernel=1, act=False,
                    use_bias=self.conv_bias, bn_eps=self.bn_eps,
                    dtype=self.dtype)(h, train)
         return nn.relu(h + shortcut)
@@ -64,13 +66,17 @@ class ResNet(nn.Module):
     """ResNet / ResNeXt trunk with C3/C4/C5 taps.
 
     `stage_sizes`: blocks per stage (C2..C5), e.g. (3,4,6,3) for ResNet-50.
-    `groups > 1` + `width_factor=2` yields ResNeXt (32x4d when groups=32).
+    `groups=32, width_factor=2, expansion=2` yields ResNeXt 32x4d
+    (bottleneck widths 128/256/512/1024, stage outputs 256/512/1024/2048 —
+    the channel plan of the reference's `Classifiers.get("resnext50")`
+    backbone, `RetinaNet/retinanet_module.py:53-66`).
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     groups: int = 1
     width_factor: int = 1
+    expansion: int = 4
     keras_compat: bool = False  # Keras v1 conventions for weight porting
     dtype: Dtype = jnp.float32
 
@@ -100,6 +106,7 @@ class ResNet(nn.Module):
                     feats,
                     stride=stride,
                     groups=self.groups,
+                    expansion=self.expansion,
                     project=(blk == 0),
                     stride_first=self.keras_compat,
                     conv_bias=self.keras_compat,
@@ -221,10 +228,12 @@ BACKBONES = {
     "resnet101": lambda dtype: ResNet(stage_sizes=(3, 4, 23, 3), dtype=dtype),
     "resnet152": lambda dtype: ResNet(stage_sizes=(3, 8, 36, 3), dtype=dtype),
     "resnext50": lambda dtype: ResNet(
-        stage_sizes=(3, 4, 6, 3), groups=32, width_factor=2, dtype=dtype
+        stage_sizes=(3, 4, 6, 3), groups=32, width_factor=2, expansion=2,
+        dtype=dtype,
     ),
     "resnext101": lambda dtype: ResNet(
-        stage_sizes=(3, 4, 23, 3), groups=32, width_factor=2, dtype=dtype
+        stage_sizes=(3, 4, 23, 3), groups=32, width_factor=2, expansion=2,
+        dtype=dtype,
     ),
     "mobilenetv2": lambda dtype: MobileNetV2(dtype=dtype),
 }

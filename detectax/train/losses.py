@@ -133,6 +133,29 @@ def hourglass_loss(
             "num_pos": jnp.sum(mask)}
 
 
+def stacked_hourglass_loss(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    *,
+    cls_lambda: float = 2.5,
+    reg_lambda: float = 1.0,
+):
+    """Stacked-hourglass loss over [B, h, w, 4+nc] maps.
+
+    Parity with reference `CenterNet/tf_centernet_hourglass.py:492-506`
+    (``model_loss``): focal on the class channels, smooth-L1 on the raw
+    (t, b, l, r) reg channels masked by cells with any class hit;
+    ``cls_lambda=2.5, reg_lambda=1.0`` per its ``train_step`` defaults
+    (lines 508-515)."""
+    obj = jnp.max(y_true[..., 4:], axis=-1)
+    mask = (obj > 0).astype(jnp.float32)
+    cls_loss = focal_loss(y_true[..., 4:], y_pred[..., 4:])
+    reg_loss = smooth_l1_loss(y_true[..., :4], y_pred[..., :4], mask=mask)
+    total = cls_lambda * cls_loss + reg_lambda * reg_loss
+    return {"cls": cls_loss, "reg": reg_loss, "total": total,
+            "num_pos": jnp.sum(mask)}
+
+
 def retinanet_loss(
     y_true: Sequence[jnp.ndarray],
     y_pred: Sequence[jnp.ndarray],

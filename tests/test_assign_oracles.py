@@ -167,3 +167,87 @@ def test_hourglass_matches_oracle(seed):
     )
     want = _np_hourglass_oracle(boxes, labels, img, scales, NC)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def _np_stacked_hourglass_oracle(boxes, labels, img_dim, nc, stride=4,
+                                 img_pad=None):
+    """Mirror of CenterNet/tf_centernet_hourglass.py:379-455 format_data
+    with the smallest-area-wins intent (its comment) rather than its
+    buggy ascending-argsort write order, at the model's true stride 4."""
+    img_pad = img_pad or img_dim
+    hm, wm = img_pad[0] // stride, img_pad[1] // stride
+    pad_y = int((img_pad[0] - img_dim[0]) / 2.0)
+    pad_x = int((img_pad[1] - img_dim[1]) / 2.0)
+    out = np.zeros((hm, wm, 4 + nc), np.float64)
+    areas = [b[2] * img_dim[0] * b[3] * img_dim[1] for b in boxes]
+    for i in np.argsort(areas)[::-1]:  # largest first, smallest last wins
+        y, x, h, w = boxes[i]
+        y_c, x_c = y * img_dim[0], x * img_dim[1]
+        bh, bw = h * img_dim[0], w * img_dim[1]
+        y_lo, y_hi = y_c - bh / 2, y_c + bh / 2
+        x_lo, x_hi = x_c - bw / 2, x_c + bw / 2
+        jy = int((pad_y + y_c) / stride)
+        jx = int((pad_x + x_c) / stride)
+        if not (0 <= jy < hm and 0 <= jx < wm):
+            continue
+        out[jy, jx, :] = 0.0
+        out[jy, jx, 0] = jy + 0.5 - (pad_y + y_lo) / stride
+        out[jy, jx, 1] = (pad_y + y_hi) / stride - jy - 0.5
+        out[jy, jx, 2] = jx + 0.5 - (pad_x + x_lo) / stride
+        out[jy, jx, 3] = (pad_x + x_hi) / stride - jx - 0.5
+        out[jy, jx, 4 + labels[i]] = 1.0
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 7])
+def test_stacked_hourglass_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    k = 6
+    boxes = np.stack([
+        rng.uniform(0.2, 0.8, k), rng.uniform(0.2, 0.8, k),
+        rng.uniform(0.05, 0.8, k), rng.uniform(0.05, 0.8, k),
+    ], axis=-1).astype(np.float32)
+    labels = rng.integers(0, NC, k)
+    img = (256, 256)
+    gt, lb, vd = _pad(boxes, labels)
+    got, n = assign.stacked_hourglass_assign(
+        gt, lb, vd, img_dim=img, num_classes=NC
+    )
+    want = _np_stacked_hourglass_oracle(boxes, labels, img, NC)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+    assert int(n) == k
+
+
+def test_stacked_hourglass_assign_decode_roundtrip():
+    """Targets fed through stacked_hourglass_decode recover the GT boxes
+    (stride-4 grid quantization bounds the error)."""
+    from detectax.infer import predict as P
+
+    boxes = np.asarray(
+        [[0.5, 0.5, 0.4, 0.3], [0.25, 0.7, 0.12, 0.2]], np.float32
+    )
+    labels = np.asarray([1, 2])
+    img = (256, 256)
+    gt, lb, vd = _pad(boxes, labels)
+    target, _ = assign.stacked_hourglass_assign(
+        gt, lb, vd, img_dim=img, num_classes=NC
+    )
+    dec_boxes, probs = P.stacked_hourglass_decode(
+        np.asarray(target)[None], stride=4
+    )
+    dec_boxes = np.asarray(dec_boxes[0])
+    probs = np.asarray(probs[0])
+    # positives are cells whose class prob is sigmoid(1.0)
+    pos = probs.max(-1) > 0.7
+    assert pos.sum() == len(boxes)
+    got = dec_boxes[pos]
+    want = np.stack([
+        (boxes[:, 0] - boxes[:, 2] / 2) * img[0],
+        (boxes[:, 1] - boxes[:, 3] / 2) * img[1],
+        (boxes[:, 0] + boxes[:, 2] / 2) * img[0],
+        (boxes[:, 1] + boxes[:, 3] / 2) * img[1],
+    ], axis=-1)
+    # match by nearest center
+    for wbox in want:
+        d = np.abs(got - wbox[None]).max(-1)
+        assert d.min() < 1e-3, (got, wbox)

@@ -90,6 +90,32 @@ def test_train_hourglass_cli_smoke(tmp_path):
     _check_artifacts(tmp_path, summary)
 
 
+def test_train_stacked_hourglass_cli_smoke_and_eval(tmp_path):
+    """--variant stacked: trains models.StackedHourglass (the reference's
+    orphaned tf_centernet_hourglass.py given a training surface) and
+    evaluates it through the stacked_hourglass family — proves the true
+    stride-4 alignment end to end."""
+    from detectax.cli import evaluate
+
+    summary = train_hourglass_voc.main(
+        _common_args(tmp_path)
+        + ["--variant", "stacked", "--n_filters", "4", "--n_stacks", "1"]
+    )
+    _check_artifacts(tmp_path, summary)
+    ev = evaluate.main([
+        "--family", "stacked_hourglass",
+        "--n_filters", "4",
+        "--n_stacks", "1",
+        "--canvas", "64",
+        "--batch_size", "8",
+        "--synthetic_n", "16",
+        "--max_boxes", "8",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+    ])
+    assert "mAP@0.5" in ev
+    assert ev["num_images"] == 16
+
+
 def test_evaluate_cli_after_training(tmp_path):
     from detectax.cli import evaluate
 

@@ -50,7 +50,9 @@ def test_resnext_grouped_conv_builds():
     bb = build_backbone("resnext50")
     x = jnp.zeros((1, 64, 64, 3))
     _, taps = _init_apply(bb, x)
-    assert taps["c5"].shape[-1] == 4096  # width_factor 2
+    # true ResNeXt 32x4d channel plan: C3/C4/C5 = 512/1024/2048
+    assert taps["c3"].shape[-1] == 512
+    assert taps["c5"].shape[-1] == 2048
 
 
 @pytest.mark.parametrize("variant,reg_ch", [
