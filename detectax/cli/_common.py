@@ -56,7 +56,10 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     p.add_argument("--init_backbone", default=d("init_backbone", None),
                    help="msgpack of ported backbone weights "
                         "(tools/port_tf_weights) to initialize from — the "
-                        "reference's pretrained-backbone workflow")
+                        "reference's pretrained-backbone workflow. Pair "
+                        "with a compat backbone name (--backbone "
+                        "resnet50:keras / resnext50:torch) so the trunk "
+                        "geometry matches the ported zoo exactly")
     p.add_argument("--freeze_bn", action="store_true",
                    help="freeze backbone BatchNorm statistics during "
                         "training (~1.4x faster step; best with ported "

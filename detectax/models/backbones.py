@@ -34,6 +34,7 @@ class BottleneckBlock(nn.Module):
     project: bool = False
     stride_first: bool = False
     conv_bias: bool = False
+    torch_pad: bool = False  # symmetric (1,1) pad on the 3x3 (torch conv)
     bn_eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
@@ -42,6 +43,9 @@ class BottleneckBlock(nn.Module):
         s1 = self.stride if self.stride_first else 1
         s3 = 1 if self.stride_first else self.stride
         out_ch = self.expansion * self.features
+        # XLA "SAME" pads a stride-2 3x3 asymmetrically (0,1); torch pads
+        # (1,1) — explicit padding keeps ported torchvision weights exact.
+        pad3 = ((1, 1), (1, 1)) if self.torch_pad else "SAME"
         shortcut = x
         if self.project:
             shortcut = ConvBN(
@@ -54,6 +58,7 @@ class BottleneckBlock(nn.Module):
                    dtype=self.dtype)(x, train)
         h = ConvBN(
             self.features, kernel=3, stride=s3, groups=self.groups,
+            padding=pad3,
             use_bias=self.conv_bias, bn_eps=self.bn_eps, dtype=self.dtype,
         )(h, train)
         h = ConvBN(out_ch, kernel=1, act=False,
@@ -78,17 +83,22 @@ class ResNet(nn.Module):
     width_factor: int = 1
     expansion: int = 4
     keras_compat: bool = False  # Keras v1 conventions for weight porting
+    torch_compat: bool = False  # torchvision conventions (ResNeXt port)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.keras_compat and self.torch_compat)
         bn_eps = 1.001e-5 if self.keras_compat else 1e-5
-        if self.keras_compat:
-            # Keras stem: explicit (3,3) pad + 7x7/2 VALID conv, then
-            # (1,1) pad + 3x3/2 VALID maxpool
+        if self.keras_compat or self.torch_compat:
+            # Keras/torch stem: explicit (3,3) pad + 7x7/2 VALID conv, then
+            # (1,1) pad + 3x3/2 VALID maxpool (torch convs carry no bias;
+            # zero-pad == torch's -inf pool pad because inputs are
+            # post-ReLU, hence non-negative)
             h = ConvBN(
                 self.width, kernel=7, stride=2,
-                padding=((3, 3), (3, 3)), use_bias=True, bn_eps=bn_eps,
+                padding=((3, 3), (3, 3)), use_bias=self.keras_compat,
+                bn_eps=bn_eps,
                 dtype=self.dtype, name="stem",
             )(x, train)
             h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -110,6 +120,7 @@ class ResNet(nn.Module):
                     project=(blk == 0),
                     stride_first=self.keras_compat,
                     conv_bias=self.keras_compat,
+                    torch_pad=self.torch_compat,
                     bn_eps=bn_eps,
                     dtype=self.dtype,
                     name=f"stage{stage + 2}_block{blk}",
@@ -240,9 +251,35 @@ BACKBONES = {
 
 
 def build_backbone(name: str, dtype=jnp.float32) -> nn.Module:
+    """Build a backbone by name, e.g. ``"resnet50"``.
+
+    A ``:keras`` / ``:torch`` suffix (``"resnet50:keras"``,
+    ``"resnext50:torch"``) builds the trunk with that zoo's exact
+    conventions (stride placement, padding, BN eps, conv bias) so weights
+    ported by `detectax.tools.port_tf_weights` reproduce the pretrained
+    features bit-for-bit — the reference always trains on the pretrained
+    Keras graph (`FCOS/fcos.py:30-41`), and the suffix is this build's
+    equivalent. MobileNetV2 is already Keras-geometry, so ``:keras`` is a
+    no-op for it.
+    """
+    name = name.lower()
+    compat = "none"
+    if ":" in name:
+        name, compat = name.split(":", 1)
     try:
-        return BACKBONES[name.lower()](dtype)
+        bb = BACKBONES[name](dtype)
     except KeyError:
         raise ValueError(
             f"unknown backbone {name!r}; options: {sorted(BACKBONES)}"
         ) from None
+    if compat == "none" or (compat == "keras" and name == "mobilenetv2"):
+        return bb
+    if not isinstance(bb, ResNet):
+        raise ValueError(
+            f"compat suffix {compat!r} unsupported for backbone {name!r}"
+        )
+    if compat == "keras":
+        return bb.clone(keras_compat=True)
+    if compat == "torch":
+        return bb.clone(torch_compat=True)
+    raise ValueError(f"unknown backbone compat {compat!r} (keras|torch)")

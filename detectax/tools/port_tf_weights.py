@@ -162,6 +162,75 @@ def port_mobilenetv2(keras_model):
     return {"params": params, "batch_stats": stats}
 
 
+RESNEXT_STAGE_SIZES = {
+    "resnext50": (3, 4, 6, 3),
+    "resnext101": (3, 4, 23, 3),
+}
+
+
+def _np(v):
+    """torch tensor or array-like -> float32 numpy."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, np.float32)
+
+
+def _torch_conv_bn(sd, conv_key, bn_key):
+    """torch ``conv.weight [O,I/g,kh,kw]`` + BN -> ConvBN params/stats."""
+    kernel = _np(sd[f"{conv_key}.weight"]).transpose(2, 3, 1, 0)
+    params = {
+        "Conv_0": {"kernel": kernel},
+        "BatchNorm_0": {
+            "scale": _np(sd[f"{bn_key}.weight"]),
+            "bias": _np(sd[f"{bn_key}.bias"]),
+        },
+    }
+    stats = {
+        "BatchNorm_0": {
+            "mean": _np(sd[f"{bn_key}.running_mean"]),
+            "var": _np(sd[f"{bn_key}.running_var"]),
+        }
+    }
+    return params, stats
+
+
+def port_torch_resnext(state_dict, arch: str = "resnext50"):
+    """torchvision ``resnext50_32x4d``/``resnext101_32x8d``-layout state
+    dict -> ``{"params", "batch_stats"}`` for
+    ``ResNet(stage_sizes, groups=32, width_factor=2, expansion=2,
+    torch_compat=True)``.
+
+    Fills the reference's ResNeXt backbone option
+    (`RetinaNet/retinanet_module.py:53-66`, qubvel
+    ``Classifiers.get("resnext50")``) from the canonical public pretrained
+    ResNeXt source that is loadable offline (a torch ``.pth`` state dict);
+    the 32x4d channel plan (widths 128..1024, stage outputs 256..2048) is
+    identical between the two zoos.
+    """
+    stage_sizes = RESNEXT_STAGE_SIZES[arch]
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _torch_conv_bn(state_dict, "conv1", "bn1")
+    for stage_idx, n_blocks in enumerate(stage_sizes):
+        for blk in range(n_blocks):
+            t = f"layer{stage_idx + 1}.{blk}"
+            name = f"stage{stage_idx + 2}_block{blk}"
+            block_p: dict = {}
+            block_s: dict = {}
+            if blk == 0:
+                block_p["proj"], block_s["proj"] = _torch_conv_bn(
+                    state_dict, f"{t}.downsample.0", f"{t}.downsample.1"
+                )
+            for i in range(3):
+                sub = f"ConvBN_{i}"
+                block_p[sub], block_s[sub] = _torch_conv_bn(
+                    state_dict, f"{t}.conv{i + 1}", f"{t}.bn{i + 1}"
+                )
+            params[name] = block_p
+            stats[name] = block_s
+    return {"params": params, "batch_stats": stats}
+
+
 def save_ported(variables: dict, path: str):
     from flax import serialization
 
@@ -179,12 +248,25 @@ def load_ported(path: str, template: dict):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--arch",
-                   choices=sorted(STAGE_SIZES) + ["mobilenetv2"],
+                   choices=sorted(STAGE_SIZES) + ["mobilenetv2"]
+                   + sorted(RESNEXT_STAGE_SIZES),
                    default="resnet50")
     p.add_argument("--weights", required=True,
-                   help="Keras .h5/.keras weights path, or 'imagenet'")
+                   help="Keras .h5/.keras weights path, or 'imagenet'; "
+                        "for resnext*: a torchvision state-dict .pth")
     p.add_argument("--output", required=True, help="output .msgpack path")
     args = p.parse_args(argv)
+
+    if args.arch in RESNEXT_STAGE_SIZES:
+        import torch
+
+        sd = torch.load(args.weights, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        variables = port_torch_resnext(sd, args.arch)
+        save_ported(variables, args.output)
+        print(f"ported {args.arch} -> {args.output}")
+        return
 
     import tensorflow as tf
 

@@ -55,6 +55,22 @@ def test_resnext_grouped_conv_builds():
     assert taps["c5"].shape[-1] == 2048
 
 
+def test_backbone_compat_suffix():
+    """':keras'/':torch' suffixes build port-compatible trunk geometry."""
+    keras_bb = build_backbone("resnet50:keras")
+    assert keras_bb.keras_compat and not keras_bb.torch_compat
+    torch_bb = build_backbone("resnext50:torch")
+    assert torch_bb.torch_compat and torch_bb.expansion == 2
+    # mobilenetv2 is already Keras-geometry: suffix is a documented no-op
+    assert build_backbone("mobilenetv2:keras").__class__.__name__ == (
+        "MobileNetV2"
+    )
+    with pytest.raises(ValueError):
+        build_backbone("tiny:torch")
+    with pytest.raises(ValueError):
+        build_backbone("resnet50:caffe")
+
+
 @pytest.mark.parametrize("variant,reg_ch", [
     ("fcos", 5), ("center", 5), ("center_v1", 5),
 ])
