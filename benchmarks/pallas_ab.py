@@ -13,7 +13,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", "/root/.cache/detectax_tpu_cache"
@@ -24,14 +27,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time(fn, *args, iters=30):
+def _time(fn, *args, iters=30, repeats=3):
+    """Min-of-repeats per-dispatch time in ms.
+
+    Relay dispatch overhead varies minute-to-minute (congestion); the min
+    over several timed windows is the noise-robust estimator of record.
+    """
     out = fn(*args)
     _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best  # ms
 
 
 def report(name, shape, xla_ms, pallas_ms):
@@ -89,7 +100,7 @@ def bench_suppression():
     from detectax.ops.pallas.nms_kernel import suppression_mask_pallas
 
     rng = np.random.default_rng(2)
-    for k in (1024, 2048):
+    for k in (256, 512, 1024, 2048):
         x = rng.uniform(0, 600, size=(k,)).astype(np.float32)
         y = rng.uniform(0, 600, size=(k,)).astype(np.float32)
         w = rng.uniform(8, 80, size=(k,)).astype(np.float32)
@@ -110,11 +121,146 @@ def bench_suppression():
         report("nms_suppression", f"K={k}", _time(f_x, boxes), _time(f_p, boxes))
 
 
+def _time_chained(make_body, init, inner=50, repeats=3):
+    """Per-application *device* time in ms, resolved below the dispatch floor.
+
+    Runs ``inner`` applications of the op inside one `lax.fori_loop` dispatch
+    (the loop carry feeds the input via a +1e-12*acc perturbation so XLA
+    cannot hoist the loop-invariant op), amortizing the ~1.1 ms relay
+    dispatch overhead to <3%. Min over repeats.
+    """
+    import jax.lax as lax
+
+    @jax.jit
+    def run():
+        return lax.fori_loop(0, inner, make_body, init)
+
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(run())[0])[0])
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run()
+        _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+        best = min(best, (time.perf_counter() - t0) / inner * 1e3)
+    return best
+
+
+def report_device(name, shape, xla_ms, pallas_ms):
+    print(json.dumps({
+        "kernel": name,
+        "shape": shape,
+        "protocol": "device_chained",
+        "xla_device_ms": round(xla_ms, 4),
+        "pallas_device_ms": round(pallas_ms, 4),
+        "speedup": round(xla_ms / pallas_ms, 2),
+    }))
+
+
+def bench_device_times():
+    """Device-time A/B via the chained protocol — the table of record for
+    threshold pinning (the dispatch-floor protocol above can't resolve ops
+    faster than ~1.1 ms)."""
+    from detectax.ops.boxes import pairwise_iou_corners
+    from detectax.ops.losses import focal_loss as focal_xla
+    from detectax.ops.nms import _suppression_mask
+    from detectax.ops.pallas.focal import focal_loss_pallas
+    from detectax.ops.pallas.nms_kernel import suppression_mask_pallas
+    from detectax.ops.pallas.peak_decode import (
+        peak_scores_pallas,
+        peak_scores_reference,
+    )
+
+    rng = np.random.default_rng(3)
+
+    # --- NMS suppression ---
+    for k in (256, 512, 1024, 2048):
+        x = rng.uniform(0, 600, size=(k,)).astype(np.float32)
+        y = rng.uniform(0, 600, size=(k,)).astype(np.float32)
+        w = rng.uniform(8, 80, size=(k,)).astype(np.float32)
+        h = rng.uniform(8, 80, size=(k,)).astype(np.float32)
+        boxes = jnp.asarray(np.stack([y, x, y + h, x + w], axis=-1))
+
+        def body_x(i, acc, boxes=boxes):
+            b = boxes + acc * 1e-12
+            iou = pairwise_iou_corners(b, b)
+            m = _suppression_mask(iou, 0.5)
+            return acc + jnp.sum(m.astype(jnp.float32))
+
+        def body_p(i, acc, boxes=boxes):
+            b = boxes + acc * 1e-12
+            m = suppression_mask_pallas(b, 0.5, interpret=False)
+            return acc + jnp.sum(m.astype(jnp.float32))
+
+        report_device(
+            "nms_suppression", f"K={k}",
+            _time_chained(body_x, jnp.float32(0)),
+            _time_chained(body_p, jnp.float32(0)),
+        )
+
+    # --- focal loss (fwd and fwd+bwd at the flagship training shape) ---
+    batch, nc = 16, 20
+    cells = sum((384 // s) ** 2 for s in (8, 16, 32, 64, 128))
+    labels = jnp.asarray(
+        (rng.uniform(size=(batch, cells, nc)) > 0.99).astype(np.float32)
+    )
+    logits = jnp.asarray(
+        rng.normal(scale=4.0, size=(batch, cells, nc)).astype(np.float32)
+    )
+
+    def focal_body(fn):
+        def body(i, acc, labels=labels, logits=logits):
+            lg = logits + acc * 1e-12
+            return acc + fn(labels, lg)
+        return body
+
+    report_device(
+        "focal_fwd", f"b{batch}x{cells}x{nc}",
+        _time_chained(focal_body(focal_xla), jnp.float32(0)),
+        _time_chained(focal_body(focal_loss_pallas), jnp.float32(0)),
+    )
+
+    def focal_grad_body(fn):
+        g = jax.grad(lambda lg, lb: fn(lb, lg))
+
+        def body(i, acc, labels=labels, logits=logits):
+            lg = logits + acc * 1e-12
+            return acc + jnp.sum(g(lg, labels)[0, 0])
+        return body
+
+    report_device(
+        "focal_fwd_bwd", f"b{batch}x{cells}x{nc}",
+        _time_chained(focal_grad_body(focal_xla), jnp.float32(0)),
+        _time_chained(focal_grad_body(focal_loss_pallas), jnp.float32(0)),
+    )
+
+    # --- heatmap peak decode ---
+    for h, c in ((48, 21), (64, 21), (96, 8), (128, 21)):
+        hm = jnp.asarray(
+            rng.normal(scale=3.0, size=(h, h, c)).astype(np.float32)
+        )
+
+        def body_xp(i, acc, hm=hm):
+            x = hm + acc * 1e-12
+            return acc + jnp.sum(peak_scores_reference(x))
+
+        def body_pp(i, acc, hm=hm):
+            x = hm + acc * 1e-12
+            return acc + jnp.sum(peak_scores_pallas(x, interpret=False))
+
+        report_device(
+            "peak_decode", f"{h}x{h}x{c}",
+            _time_chained(body_xp, jnp.float32(0)),
+            _time_chained(body_pp, jnp.float32(0)),
+        )
+
+
 def main():
     print(f"device: {jax.devices()[0]}")
     bench_focal()
     bench_peak()
     bench_suppression()
+    print("--- device-time (chained) protocol ---")
+    bench_device_times()
 
 
 if __name__ == "__main__":

@@ -29,10 +29,13 @@ from detectax.ops.boxes import pairwise_iou_corners
 
 # Candidate-count threshold above which hard-NMS suppression runs as the
 # Pallas kernel (never materializes the [K, K] IoU matrix) instead of the
-# XLA fori-loop over a precomputed matrix. To be pinned from the TPU A/B
-# harness (benchmarks/pallas_ab.py); until those numbers land in
-# BASELINE.md this is an estimate, not a measurement.
-PALLAS_SUPPRESSION_MIN_K = 512
+# XLA fori-loop over a precomputed matrix. Pinned from the round-3 TPU A/B
+# (benchmarks/pallas_ab.py device-chained protocol, TPU v5e, table in
+# BASELINE.md): Pallas wins at every K measured — 1.29x @K=256, 1.46x @512,
+# 1.83x @1024, 2.11x @2048 — so the kernel is on from the smallest shape
+# measured; below 256 both paths sit under the relay dispatch floor and the
+# XLA path is kept for simplicity.
+PALLAS_SUPPRESSION_MIN_K = 256
 
 
 def _use_pallas_suppression(k: int) -> bool:

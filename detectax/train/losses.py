@@ -42,8 +42,11 @@ from detectax.ops.losses import (
 
 if os.environ.get("DETECTAX_PALLAS_FOCAL", "0") == "1":
     # Pallas fused focal kernel. Numerics verified equal to the XLA path
-    # (tests/test_pallas_kernels.py); the perf A/B (benchmarks/pallas_ab.py)
-    # decides whether it ever becomes the default — opt-in until then.
+    # (tests/test_pallas_kernels.py). Round-3 TPU v5e A/B at the flagship
+    # training shape (benchmarks/pallas_ab.py, BASELINE.md): measured
+    # parity — 0.94x fwd / 1.03x fwd+bwd vs XLA, i.e. XLA's fusion already
+    # matches the hand kernel — so the XLA path stays default and this
+    # remains opt-in.
     from detectax.ops.pallas.focal import focal_loss_pallas as focal_loss
 else:
     focal_loss = _focal_xla
