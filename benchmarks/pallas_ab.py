@@ -254,6 +254,52 @@ def bench_device_times():
         )
 
 
+def bench_fused_dense_nms():
+    """Fused one-kernel dense NMS vs the two-stage top-k+suppression
+    pipeline at the dense-crowd shape (CenterNet-S8 @640px: M=6400 cells,
+    K=2048 two-stage candidates; ROADMAP #3). Device-chained protocol."""
+    from detectax.ops.nms import nms, select_top_k
+    from detectax.ops.pallas.nms_kernel import dense_nms_pallas
+
+    rng = np.random.default_rng(5)
+    for m, k in ((6400, 2048), (5456, 1024)):
+        y = rng.uniform(0, 640, size=(m,)).astype(np.float32)
+        x = rng.uniform(0, 640, size=(m,)).astype(np.float32)
+        h = rng.uniform(8, 120, size=(m,)).astype(np.float32)
+        w = rng.uniform(8, 120, size=(m,)).astype(np.float32)
+        boxes = jnp.asarray(np.stack([y, x, y + h, x + w], axis=-1))
+        nc = 8
+        probs_np = np.zeros((m, nc), np.float32)
+        cls_np = rng.integers(0, nc, size=(m,))
+        probs_np[np.arange(m), cls_np] = rng.uniform(0, 1, size=(m,))
+        probs = jnp.asarray(probs_np)
+
+        def body_two_stage(i, acc, boxes=boxes, probs=probs, k=k):
+            b = boxes + acc * 1e-12
+            cb, cs, cc = select_top_k(b, probs, k)
+            out = nms(
+                cb, cs, cc, iou_thresh=0.5, score_thresh=0.05,
+                max_outputs=100,
+            )
+            return acc + jnp.sum(out["scores"])
+
+        def body_fused(i, acc, boxes=boxes, probs=probs):
+            b = boxes + acc * 1e-12
+            out = dense_nms_pallas(
+                b, jnp.max(probs, axis=-1),
+                jnp.argmax(probs, axis=-1).astype(jnp.int32),
+                iou_thresh=0.5, score_thresh=0.05, max_outputs=100,
+                interpret=False,
+            )
+            return acc + jnp.sum(out["scores"])
+
+        report_device(
+            "fused_dense_nms_vs_two_stage", f"M={m},K={k}",
+            _time_chained(body_two_stage, jnp.float32(0), inner=30),
+            _time_chained(body_fused, jnp.float32(0), inner=30),
+        )
+
+
 def main():
     print(f"device: {jax.devices()[0]}")
     bench_focal()
@@ -261,6 +307,7 @@ def main():
     bench_suppression()
     print("--- device-time (chained) protocol ---")
     bench_device_times()
+    bench_fused_dense_nms()
 
 
 if __name__ == "__main__":

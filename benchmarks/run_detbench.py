@@ -40,9 +40,16 @@ FAMILIES = {
         "args": ["--canvas", "384", "--init_lr", "0.01"],
     },
     "centernet_s8": {
+        # --gaussian_cls: from-scratch remedy for the reference's
+        # centroid-only point supervision, which cannot escape the focal
+        # bias from random init (round-2 analysis, BASELINE.md; the
+        # reference always fine-tunes pretrained R101). Off by default in
+        # the CLI for reference parity; on for the from-scratch benchmark.
+        # Round-2 point-cls evidence preserved under
+        # runs/centernet_s8_pointcls_r2/.
         "train": "detectax.cli.train_centernet_crowdhuman",
         "args": ["--canvas", "512", "--init_lr", "0.01",
-                 "--lr_boundaries", "3000", "3500"],
+                 "--lr_boundaries", "3000", "3500", "--gaussian_cls"],
     },
     "centernet_heatmap": {
         "train": "detectax.cli.train_centernet_heatmap",
@@ -90,6 +97,11 @@ def run(cmd, log_path):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--families", nargs="+", default=list(FAMILIES))
+    p.add_argument("--bench", default="detbench",
+                   choices=("detbench", "detbench_v2", "detbench_v2_crowd"),
+                   help="which committed benchmark spec to train/eval on; "
+                        "non-v1 runs go to runs_<bench>/ and "
+                        "RESULTS_<bench>.json")
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--backbone", default="mobilenetv2",
@@ -100,6 +112,19 @@ def main(argv=None):
     p.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "RESULTS_detbench_v1.json"))
     args = p.parse_args(argv)
+
+    if args.bench != "detbench":
+        suffix = args.bench.replace("detbench_", "")
+        if args.run_root == os.path.join(REPO, "benchmarks", "runs"):
+            args.run_root = os.path.join(
+                REPO, "benchmarks", f"runs_{suffix}"
+            )
+        if args.out == os.path.join(
+            REPO, "benchmarks", "RESULTS_detbench_v1.json"
+        ):
+            args.out = os.path.join(
+                REPO, "benchmarks", f"RESULTS_{args.bench}.json"
+            )
 
     results = {}
     if os.path.exists(args.out):
@@ -115,7 +140,7 @@ def main(argv=None):
         t0 = time.time()
         train_cmd = [
             sys.executable, "-u", "-m", cfg["train"],
-            "--dataset", "detbench",
+            "--dataset", args.bench,
             "--max_steps", str(args.steps),
             "--backbone", args.backbone,
             "--ckpt_dir", ckpt_dir,
@@ -127,6 +152,9 @@ def main(argv=None):
         ]
         if "--batch_size" not in cfg["args"]:
             train_cmd += ["--batch_size", str(args.batch_size)]
+        if args.bench == "detbench_v2_crowd":
+            # dense-crowd split: up to 128 GT/image (spec max_objects)
+            train_cmd += ["--max_boxes", "128"]
         if args.bf16:
             train_cmd.append("--bf16")
         # hourglass has no --backbone-driven architecture; flag is ignored
@@ -144,13 +172,15 @@ def main(argv=None):
         eval_cmd = [
             sys.executable, "-u", "-m", "detectax.cli.evaluate",
             "--family", fam,
-            "--dataset", "detbench",
+            "--dataset", args.bench,
             "--backbone", args.backbone,
             "--ckpt_dir", ckpt_dir,
             "--coco_metrics",
             "--out_json", eval_json,
             *cfg.get("eval_extra", []),
         ]
+        if args.bench == "detbench_v2_crowd":
+            eval_cmd += ["--max_boxes", "128", "--max_outputs", "200"]
         print(f"[{fam}] evaluating ...", flush=True)
         rc = run(eval_cmd, log_path)
         if rc != 0 or not os.path.exists(eval_json):

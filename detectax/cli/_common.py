@@ -10,7 +10,9 @@ def add_train_args(p: argparse.ArgumentParser, **defaults):
     d = lambda k, v: defaults.get(k, v)
     p.add_argument("--index", default=d("index", None),
                    help="dataset index json (default: synthetic dataset)")
-    p.add_argument("--dataset", choices=("synthetic", "detbench"),
+    p.add_argument("--dataset",
+                   choices=("synthetic", "detbench", "detbench_v2",
+                            "detbench_v2_crowd"),
                    default=d("dataset", "synthetic"),
                    help="built-in dataset when --index is not given: "
                         "'synthetic' (smoke) or 'detbench' (standardized "
@@ -77,10 +79,12 @@ def dataset_from_args(args, split: str = "train"):
         from detectax.data.index import IndexDataset
 
         return IndexDataset(args.index)
-    if getattr(args, "dataset", "synthetic") == "detbench":
-        from detectax.data.detbench import DetBenchDataset
+    name = getattr(args, "dataset", "synthetic")
+    if name.startswith("detbench"):
+        from detectax.data.detbench import DetBenchDataset, load_spec
 
-        return DetBenchDataset(split)  # sizes come from the committed spec
+        # sizes come from the committed spec for the selected benchmark
+        return DetBenchDataset(split, spec=load_spec(name=name))
     from detectax.data.synthetic import SyntheticDataset
 
     return SyntheticDataset(n=args.synthetic_n, img_size=args.canvas)

@@ -101,10 +101,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--family", choices=FAMILIES, default="fcos")
     p.add_argument("--index", default=None)
-    p.add_argument("--dataset", choices=("synthetic", "detbench"),
+    p.add_argument("--dataset",
+                   choices=("synthetic", "detbench", "detbench_v2",
+                            "detbench_v2_crowd"),
                    default="synthetic",
-                   help="'detbench' evaluates on the committed eval split "
-                        "(benchmarks/detbench_v1.json)")
+                   help="'detbench*' evaluates on the committed eval split "
+                        "(benchmarks/detbench_v1/v2/v2_crowd .json)")
     p.add_argument("--synthetic_n", type=int, default=64)
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--ckpt_dir", default="ckpt")

@@ -42,6 +42,51 @@ V1_SPEC = {
     "max_overlap_iou": 0.45,
 }
 
+# DetBench v2 (r2 VERDICT "next" #9): scale jitter via log-uniform size
+# sampling (v1 was uniform 6-45%, biasing area toward large objects) with
+# a smaller floor — small-object emphasis — and more crowding.
+V2_SPEC = {
+    "version": "detbench_v2",
+    "img_size": 512,
+    "n_train": 4096,
+    "n_eval": 256,
+    "train_seed": 20260817,
+    "eval_seed": 331177,
+    "min_objects": 4,
+    "max_objects": 24,
+    "max_overlap_iou": 0.50,
+    "size_lo": 0.025,
+    "size_hi": 0.40,
+    "size_log": True,
+    "place_attempts": 20,
+}
+
+# Dense-crowd split: the learning benchmark for the CrowdHuman stretch
+# config (content scale + K=2048 NMS, reference
+# `CenterNet/train_centernet_crowdhuman.py:52-62`) — up to 128 small
+# GTs per image at high mutual overlap.
+V2_CROWD_SPEC = {
+    "version": "detbench_v2crowd",
+    "img_size": 640,
+    "n_train": 2048,
+    "n_eval": 128,
+    "train_seed": 20260818,
+    "eval_seed": 550044,
+    "min_objects": 48,
+    "max_objects": 128,
+    "max_overlap_iou": 0.55,
+    "size_lo": 0.02,
+    "size_hi": 0.12,
+    "size_log": True,
+    "place_attempts": 24,
+}
+
+SPECS = {
+    "detbench": V1_SPEC,
+    "detbench_v2": V2_SPEC,
+    "detbench_v2_crowd": V2_CROWD_SPEC,
+}
+
 _NOISE_CACHE: dict = {}
 
 
@@ -116,15 +161,25 @@ def make_sample(
     min_objects: int = 2,
     max_objects: int = 10,
     max_overlap_iou: float = 0.45,
+    size_lo: float = 0.06,
+    size_hi: float = 0.45,
+    size_log: bool = False,
+    place_attempts: int = 12,
 ):
     img = _background(img_size, rng)
     n = int(rng.integers(min_objects, max_objects + 1))
     boxes: list = []
     labels: list = []
     for _ in range(n):
-        for _attempt in range(12):
+        for _attempt in range(place_attempts):
             cls = int(rng.integers(len(CLASS_NAMES)))
-            s = float(rng.uniform(0.06, 0.45))
+            if size_log:
+                # log-uniform: small-object emphasis (DetBench v2)
+                s = float(np.exp(rng.uniform(
+                    np.log(size_lo), np.log(size_hi)
+                )))
+            else:
+                s = float(rng.uniform(size_lo, size_hi))
             aspect = float(rng.uniform(0.7, 1.4))
             h = min(s * aspect, 0.9)
             w = min(s / aspect, 0.9)
@@ -153,16 +208,24 @@ def make_sample(
     )
 
 
-def load_spec(path: str | None = None) -> dict:
+def load_spec(path: str | None = None, name: str = "detbench") -> dict:
+    """Resolve a benchmark spec: explicit ``path`` wins; otherwise the
+    committed ``benchmarks/<file>.json`` for ``name`` (a `SPECS` key),
+    falling back to the built-in dict."""
+    files = {
+        "detbench": "detbench_v1.json",
+        "detbench_v2": "detbench_v2.json",
+        "detbench_v2_crowd": "detbench_v2_crowd.json",
+    }
     if path is None:
         path = os.path.join(
             os.path.dirname(__file__), "..", "..", "benchmarks",
-            "detbench_v1.json",
+            files[name],
         )
     if os.path.exists(path):
         with open(path) as f:
             return json.load(f)
-    return dict(V1_SPEC)
+    return dict(SPECS[name])
 
 
 class DetBenchDataset:
@@ -247,11 +310,16 @@ class DetBenchDataset:
 
     def _generate(self, idx: int):
         rng = np.random.default_rng((self.seed, int(idx)))
+        s = self.spec
         img, boxes, labels = make_sample(
             rng, self.img_size,
-            min_objects=self.spec["min_objects"],
-            max_objects=self.spec["max_objects"],
-            max_overlap_iou=self.spec["max_overlap_iou"],
+            min_objects=s["min_objects"],
+            max_objects=s["max_objects"],
+            max_overlap_iou=s["max_overlap_iou"],
+            size_lo=s.get("size_lo", 0.06),
+            size_hi=s.get("size_hi", 0.45),
+            size_log=s.get("size_log", False),
+            place_attempts=s.get("place_attempts", 12),
         )
         return {"image": img, "boxes_xyxy": boxes, "labels": labels}
 

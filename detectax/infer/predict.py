@@ -203,6 +203,7 @@ def retinanet_decode(
     static_argnames=(
         "top_k", "iou_thresh", "score_thresh", "max_outputs",
         "class_aware", "mode", "soft_sigma", "class_aware_candidates",
+        "fused",
     ),
 )
 def detections_from_dense(
@@ -217,8 +218,17 @@ def detections_from_dense(
     mode: str = "hard",
     soft_sigma: float = 0.3,
     class_aware_candidates: bool = False,
+    fused: bool | None = None,
 ):
     """Batched candidate selection + NMS over dense (boxes, probs).
+
+    ``fused`` selects the one-kernel selection+suppression path
+    (`ops.nms.dense_nms`): no top-k stage — greedy NMS runs directly on
+    the full dense set via iterative argmax, strictly more complete than
+    any ``top_k`` truncation (identical when ``top_k >= M``). Default
+    ``None`` auto-enables it on TPU for the hard / argmax-class
+    configuration it covers (Pallas kernel, A/B in BASELINE.md); soft-NMS
+    and combined-NMS candidate semantics always use the two-stage path.
 
     ``class_aware_candidates=True`` ranks all M*C (box, class) pairs so one
     box can surface under several classes — TF
@@ -228,16 +238,35 @@ def detections_from_dense(
     `RetinaNet/retinanet_module.py:510-524`).
     """
 
-    def single(bx, pr):
-        cb, cs, cc = nms_lib.select_top_k(
-            bx, pr, top_k, class_aware_candidates=class_aware_candidates
-        )
-        return nms_lib.nms(
-            cb, cs, cc,
-            iou_thresh=iou_thresh, score_thresh=score_thresh,
-            max_outputs=max_outputs, class_aware=class_aware,
-            mode=mode, soft_sigma=soft_sigma,
-        )
+    if fused is None:
+        try:
+            from detectax.ops.pallas._common import on_tpu
+
+            fused = (
+                on_tpu() and mode == "hard" and not class_aware_candidates
+            )
+        except Exception:  # pragma: no cover
+            fused = False
+
+    if fused:
+        def single(bx, pr):
+            return nms_lib.dense_nms(
+                bx, jnp.max(pr, axis=-1),
+                jnp.argmax(pr, axis=-1).astype(jnp.int32),
+                iou_thresh=iou_thresh, score_thresh=score_thresh,
+                max_outputs=max_outputs, class_aware=class_aware,
+            )
+    else:
+        def single(bx, pr):
+            cb, cs, cc = nms_lib.select_top_k(
+                bx, pr, top_k, class_aware_candidates=class_aware_candidates
+            )
+            return nms_lib.nms(
+                cb, cs, cc,
+                iou_thresh=iou_thresh, score_thresh=score_thresh,
+                max_outputs=max_outputs, class_aware=class_aware,
+                mode=mode, soft_sigma=soft_sigma,
+            )
 
     return jax.vmap(single)(boxes, probs)
 

@@ -14,7 +14,11 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from detectax.models.layers import bn_f32_stats as _bn_f32_stats, ConvBN
+from detectax.models.layers import (
+    BatchNorm,
+    ConvBN,
+    bn_f32_stats as _bn_f32_stats,
+)
 
 Dtype = Any
 
@@ -152,7 +156,7 @@ class InvertedResidual(nn.Module):
             padding="SAME", feature_group_count=h.shape[-1], use_bias=False,
             dtype=self.dtype, name="depthwise",
         )(h)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             force_float32_reductions=_bn_f32_stats(),
             use_running_average=not train, momentum=0.9,
             epsilon=self.bn_eps, dtype=self.dtype,

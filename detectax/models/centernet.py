@@ -36,6 +36,7 @@ from detectax.models.backbones import build_backbone
 from detectax.models.fpn import S8CollapseFPN
 from detectax.models.heads import ConvTower, HeadConv
 from detectax.models.layers import (
+    BatchNorm,
     FocalBias,
     HourglassConvBlock,
     HourglassDownsample,
@@ -211,7 +212,7 @@ class BottleneckHGBlock(nn.Module):
         for i in range(self.n_repeats):
             h = inp
             if self.batch_norm:
-                h = nn.BatchNorm(
+                h = BatchNorm(
                     force_float32_reductions=_bn_f32_stats(),
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",

@@ -34,6 +34,90 @@ def bn_f32_stats() -> bool:
     return os.environ.get("DETECTAX_BN_BF16_STATS", "0") != "1"
 
 
+def bn_stat_subset() -> int:
+    """Batch-subset divisor for BatchNorm statistics (HBM-bandwidth lever).
+
+    With live BN statistics every ConvBN re-reads its activation for the
+    E[x]/E[x^2] reduction — profiled at ~4.5 ms (24%) of the flagship
+    step (BASELINE.md roofline). ``DETECTAX_BN_STAT_SUBSET=k`` computes
+    the batch statistics from only the first ``B/k`` examples (the full
+    batch is still normalized and the running averages still update):
+    the stat pass reads 1/k of the activation bytes. Statistically this
+    is ghost-batch-norm-style subsampling — at detection batch sizes the
+    per-channel sample count (B/k * H * W) stays in the thousands.
+    Default off (0/1): exact reference BN semantics.
+    """
+    import os
+
+    try:
+        return int(os.environ.get("DETECTAX_BN_STAT_SUBSET", "0"))
+    except ValueError:  # pragma: no cover
+        return 0
+
+
+class BatchNorm(nn.Module):
+    """Drop-in for `nn.BatchNorm` (same param/collection names, same
+    auto-name "BatchNorm_N") restricted to the conventions this codebase
+    uses (feature axis -1, scale+bias on, fast variance), plus the
+    subset-statistics mode of `bn_stat_subset`.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    force_float32_reductions: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (features,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (features,),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (features,),
+        )
+
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            sub = bn_stat_subset()
+            xs = x
+            if sub > 1 and x.ndim >= 2 and x.shape[0] >= sub:
+                xs = x[: x.shape[0] // sub]
+            red_dtype = (
+                jnp.float32 if self.force_float32_reductions else self.dtype
+            )
+            xr = xs.astype(red_dtype)
+            axes = tuple(range(xr.ndim - 1))
+            mean = jnp.mean(xr, axis=axes)
+            mean2 = jnp.mean(jnp.square(xr), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (
+                    m * ra_mean.value + (1 - m) * mean.astype(jnp.float32)
+                )
+                ra_var.value = (
+                    m * ra_var.value + (1 - m) * var.astype(jnp.float32)
+                )
+
+        xd, mean_, var_, scale_, bias_ = nn.dtypes.promote_dtype(
+            x, mean, var, scale, bias, dtype=self.dtype
+        )
+        return (xd - mean_) * jax.lax.rsqrt(var_ + self.epsilon) * scale_ \
+            + bias_
+
+
 def focal_bias_init(key, shape, dtype=jnp.float32):
     return jnp.full(shape, FOCAL_BIAS, dtype=dtype)
 
@@ -115,7 +199,7 @@ class ConvBN(nn.Module):
             feature_group_count=self.groups,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             force_float32_reductions=bn_f32_stats(),
             use_running_average=not train, momentum=0.9,
             epsilon=self.bn_eps, dtype=self.dtype,
@@ -176,7 +260,7 @@ class HourglassConvBlock(nn.Module):
         for i in range(self.n_repeats):
             h = inp
             if self.batch_norm and self.norm_order == "norm_first":
-                h = nn.BatchNorm(
+                h = BatchNorm(
                     force_float32_reductions=bn_f32_stats(),
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",
@@ -193,7 +277,7 @@ class HourglassConvBlock(nn.Module):
             )
             h = conv(h)
             if self.batch_norm and self.norm_order == "norm_last":
-                h = nn.BatchNorm(
+                h = BatchNorm(
                     force_float32_reductions=bn_f32_stats(),
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}",
@@ -219,7 +303,7 @@ class HourglassDownsample(nn.Module):
     def __call__(self, x, train: bool = False):
         h = x
         if self.batch_norm and self.norm_order == "norm_first":
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 force_float32_reductions=bn_f32_stats(),
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype,
@@ -234,7 +318,7 @@ class HourglassDownsample(nn.Module):
         )
         h = conv(h)
         if self.batch_norm and self.norm_order == "norm_last":
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 force_float32_reductions=bn_f32_stats(),
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype,

@@ -235,3 +235,53 @@ def batched_nms(boxes, scores, classes, **kwargs):
     return jax.vmap(lambda b, s, c: nms(b, s, c, **kwargs))(
         boxes, scores, classes
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iou_thresh", "score_thresh", "max_outputs", "class_aware",
+        "use_pallas",
+    ),
+)
+def dense_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    *,
+    iou_thresh: float = 0.5,
+    score_thresh: float = 0.0,
+    max_outputs: int = 100,
+    class_aware: bool = True,
+    use_pallas: bool | None = None,
+):
+    """Fused selection+suppression hard NMS over the FULL dense candidate
+    set ``[M]`` — no top-k stage, no sort, no [K, K] matrix.
+
+    Equivalent to ``nms(select_top_k(...), mode="hard")`` with ``top_k=M``
+    (iterative argmax == stable descending sort for greedy NMS); strictly
+    more complete than any top-k truncation. On TPU this runs as one
+    Pallas kernel in which the candidates never leave VMEM between
+    selection and suppression (`ops/pallas/nms_kernel.py::dense_nms_pallas`,
+    A/B numbers in BASELINE.md); elsewhere as the pure-jnp twin. Reference
+    behavior anchor: the numpy NMS over all decoded cells,
+    `/root/reference/CenterNet/tf_centernet_resnet_s8.py:44-85`.
+    """
+    from detectax.ops.pallas.nms_kernel import (
+        dense_nms_pallas,
+        dense_nms_reference,
+    )
+
+    if use_pallas is None:
+        try:
+            from detectax.ops.pallas._common import on_tpu
+
+            use_pallas = on_tpu()
+        except Exception:  # pragma: no cover
+            use_pallas = False
+    fn = dense_nms_pallas if use_pallas else dense_nms_reference
+    return fn(
+        boxes, scores, classes, iou_thresh=iou_thresh,
+        score_thresh=score_thresh, max_outputs=max_outputs,
+        class_aware=class_aware,
+    )

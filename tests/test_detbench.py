@@ -50,6 +50,44 @@ def test_memmap_cache_matches_generator(tmp_path, monkeypatch):
     np.testing.assert_array_equal(again[3]["image"], raw[3]["image"])
 
 
+def test_v2_spec_loads_and_generates():
+    spec = load_spec(name="detbench_v2")
+    assert spec["version"] == "detbench_v2"
+    ds = DetBenchDataset("train", spec=spec, n=6, cache=False)
+    sizes = []
+    for i in range(6):
+        r = ds[i]
+        assert r["image"].shape == (512, 512, 3)
+        assert 1 <= len(r["boxes_xyxy"]) <= 24
+        wh = r["boxes_xyxy"][:, 2:] - r["boxes_xyxy"][:, :2]
+        sizes.extend(np.sqrt(wh[:, 0] * wh[:, 1]).tolist())
+    # log-uniform small-object emphasis: median well below the v1 ~0.22
+    assert np.median(sizes) < 0.15
+    assert min(sizes) >= 0.015
+
+
+def test_v2_crowd_spec_generates_dense():
+    spec = load_spec(name="detbench_v2_crowd")
+    assert spec["max_objects"] == 128
+    ds = DetBenchDataset("eval", spec=spec, n=2, cache=False)
+    r = ds[0]
+    assert r["image"].shape == (640, 640, 3)
+    assert len(r["boxes_xyxy"]) >= 30  # dense (placement may drop a few)
+    assert (r["labels"] < len(CLASS_NAMES)).all()
+
+
+def test_v1_sequence_unchanged_by_v2_params():
+    """The size-sampler refactor must not move v1's RNG stream: the
+    default (uniform) path draws exactly as before."""
+    from detectax.data.detbench import make_sample
+
+    rng = np.random.default_rng((977717, 2))
+    img, boxes, labels = make_sample(rng, 512)
+    ref = DetBenchDataset("eval", n=4, cache=False)[2]
+    np.testing.assert_array_equal(img, ref["image"])
+    np.testing.assert_allclose(boxes, ref["boxes_xyxy"])
+
+
 def test_loader_integration():
     from detectax.data.pipeline import Loader
 

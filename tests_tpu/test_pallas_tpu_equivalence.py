@@ -76,6 +76,42 @@ def test_peak_scores_tpu_matches_reference():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("m", [1024, 6400])
+def test_dense_nms_tpu_matches_reference(m):
+    from detectax.ops.pallas.nms_kernel import (
+        dense_nms_pallas,
+        dense_nms_reference,
+    )
+
+    rng = np.random.default_rng(7)
+    y = rng.uniform(0, 600, size=(m,)).astype(np.float32)
+    x = rng.uniform(0, 600, size=(m,)).astype(np.float32)
+    h = rng.uniform(8, 80, size=(m,)).astype(np.float32)
+    w = rng.uniform(8, 80, size=(m,)).astype(np.float32)
+    boxes = jnp.asarray(np.stack([y, x, y + h, x + w], axis=-1))
+    scores = jnp.asarray(rng.uniform(0, 1, size=(m,)).astype(np.float32))
+    classes = jnp.asarray(rng.integers(0, 8, size=(m,)).astype(np.int32))
+
+    a = jax.jit(
+        lambda b, s, c: dense_nms_pallas(
+            b, s, c, iou_thresh=0.5, score_thresh=0.05, max_outputs=100,
+            interpret=False,
+        )
+    )(boxes, scores, classes)
+    b_ = jax.jit(
+        lambda b, s, c: dense_nms_reference(
+            b, s, c, iou_thresh=0.5, score_thresh=0.05, max_outputs=100,
+        )
+    )(boxes, scores, classes)
+    assert int(a["num_valid"]) == int(b_["num_valid"])
+    for key in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(a[key], np.float32),
+            np.asarray(b_[key], np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 def test_focal_loss_pallas_tpu_matches_xla():
     from detectax.ops.losses import focal_loss as focal_xla
     from detectax.ops.pallas.focal import focal_loss_pallas
