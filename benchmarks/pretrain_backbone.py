@@ -65,7 +65,8 @@ def crop_batch(ds, rng, batch, crop_px):
         if len(s["labels"]) == 0:
             continue
         j = int(rng.integers(0, len(s["labels"])))
-        x1, y1, x2, y2 = s["boxes_xyxy"][j]
+        # DetBench boxes are canvas-normalized xyxy — scale to pixels
+        x1, y1, x2, y2 = s["boxes_xyxy"][j] * size
         mw = (x2 - x1) * rng.uniform(0.10, 0.35)
         mh = (y2 - y1) * rng.uniform(0.10, 0.35)
         xa = int(max(0, x1 - mw)); ya = int(max(0, y1 - mh))
@@ -104,11 +105,13 @@ def main(argv=None):
     model = CropClassifier(backbone_name=args.backbone, num_classes=nc)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
+    print("init...", flush=True)
     variables = model.init(
         key, jnp.zeros((1, args.crop, args.crop, 3)), train=False
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    print("init done", flush=True)
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.init_lr, args.warmup_steps, args.steps
@@ -151,7 +154,11 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     t0 = time.time()
     for step in range(1, args.steps + 1):
+        if step == 1:
+            print("generating first batch...", flush=True)
         images, labels = crop_batch(train_ds, rng, args.batch_size, args.crop)
+        if step == 1:
+            print("first batch done; compiling step...", flush=True)
         params, batch_stats, opt_state, loss, acc = train_step(
             params, batch_stats, opt_state,
             jnp.asarray(images), jnp.asarray(labels),

@@ -105,7 +105,9 @@ def child(process_id: int, num_processes: int, port: int, out_path: str):
     checksum_c = float(sum(
         np.abs(np.asarray(p, np.float64)).sum()
         for p in jax.tree_util.tree_leaves(
-            multihost_utils.process_allgather(state_c.params)
+            # tiled=True: FSDP leaves are sharded on axis 0 across
+            # processes; the tiled gather reassembles the full param
+            multihost_utils.process_allgather(state_c.params, tiled=True)
         )
     ))
     assert np.isfinite(total_c), total_c
@@ -263,6 +265,11 @@ def parent(tmp: str = "/tmp/detectax_2proc") -> int:
     port = 12785
     env_common = dict(os.environ)
     env_common["PYTHONPATH"] = REPO + ":" + env_common.get("PYTHONPATH", "")
+    # persistent compile cache: the three model-graph compiles dominate
+    # wall time on this 1-core host; cached reruns cut ~3x
+    env_common.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/detectax_xla_cache"
+    )
     procs = []
     for pid in range(2):
         env = dict(env_common)
@@ -279,7 +286,7 @@ def parent(tmp: str = "/tmp/detectax_2proc") -> int:
         ), out))
     rc = 0
     for p, _ in procs:
-        rc |= p.wait(timeout=600)
+        rc |= p.wait(timeout=1800)
     if rc:
         print("FAIL: a child exited nonzero")
         return 1
