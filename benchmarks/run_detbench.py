@@ -40,16 +40,21 @@ FAMILIES = {
         "args": ["--canvas", "384", "--init_lr", "0.01"],
     },
     "centernet_s8": {
-        # --gaussian_cls: from-scratch remedy for the reference's
-        # centroid-only point supervision, which cannot escape the focal
-        # bias from random init (round-2 analysis, BASELINE.md; the
-        # reference always fine-tunes pretrained R101). Off by default in
-        # the CLI for reference parity; on for the from-scratch benchmark.
-        # Round-2 point-cls evidence preserved under
-        # runs/centernet_s8_pointcls_r2/.
+        # The reference's centroid-only point supervision cannot escape
+        # the focal bias from random init (round-2 analysis, BASELINE.md)
+        # and --gaussian_cls soft targets made it worse (remedy 1, r3) —
+        # this family is benchmarked at the reference's own operating
+        # point (train_centernet_crowdhuman.py:208-242: pretrained
+        # backbone + fine-tuning LR): crop-pretrained MobileNetV2 init
+        # (benchmarks/pretrain_backbone.py) + lr 1e-3 + frozen BN.
+        # Measured r3: mAP@0.5 0.738 (runs/centernet_s8_pretrain_ft/);
+        # point-cls/gaussian_cls from-scratch evidence preserved under
+        # runs/centernet_s8_pointcls_r2/ and runs/centernet_s8/.
         "train": "detectax.cli.train_centernet_crowdhuman",
-        "args": ["--canvas", "512", "--init_lr", "0.01",
-                 "--lr_boundaries", "3000", "3500", "--gaussian_cls"],
+        "args": ["--canvas", "512", "--init_lr", "0.001",
+                 "--lr_boundaries", "3000", "3500", "--warmup_steps", "100",
+                 "--freeze_bn", "--init_backbone",
+                 "benchmarks/runs/pretrain_mbv2/backbone.msgpack"],
     },
     "centernet_heatmap": {
         "train": "detectax.cli.train_centernet_heatmap",
