@@ -76,6 +76,20 @@ FAMILIES = {
     },
 }
 
+# Dense-crowd split (detbench_v2_crowd: 640px source, 48-128 GT/image)
+# mirrors the reference CrowdHuman stretch config
+# (train_centernet_crowdhuman.py:52-62): 640 canvas, per-batch content
+# scale (--use_scale), K=2048-class NMS at eval (the fused dense-NMS path
+# on TPU is equivalent to top_k=M, strictly more complete).
+CROWD_TRAIN_OVERRIDES = {
+    "centernet_s8": ["--canvas", "640", "--use_scale",
+                     "--min_scale", "0.7", "--base_dims", "448"],
+    "retinanet": ["--canvas", "640"],
+    "fcos": ["--canvas", "640"],
+    "centernet_heatmap": ["--canvas", "640"],
+}
+CROWD_EVAL_OVERRIDES = ["--canvas", "640", "--top_k", "2048"]
+
 # From-scratch optimization recipe (no ImageNet weights in this image):
 # positive-count loss normalization + linear warmup + a clip sized for
 # pos-normalized gradient scales. Validated on FCOS-R50@384 (NaN-free,
@@ -160,6 +174,7 @@ def main(argv=None):
         if args.bench == "detbench_v2_crowd":
             # dense-crowd split: up to 128 GT/image (spec max_objects)
             train_cmd += ["--max_boxes", "128"]
+            train_cmd += CROWD_TRAIN_OVERRIDES.get(fam, [])
         if args.bf16:
             train_cmd.append("--bf16")
         # hourglass has no --backbone-driven architecture; flag is ignored
@@ -186,6 +201,7 @@ def main(argv=None):
         ]
         if args.bench == "detbench_v2_crowd":
             eval_cmd += ["--max_boxes", "128", "--max_outputs", "200"]
+            eval_cmd += CROWD_EVAL_OVERRIDES
         print(f"[{fam}] evaluating ...", flush=True)
         rc = run(eval_cmd, log_path)
         if rc != 0 or not os.path.exists(eval_json):

@@ -130,6 +130,10 @@ def main(argv=None):
     p.add_argument("--n_stacks", type=int, default=1,
                    help="stacked_hourglass stack count (must match training)")
     p.add_argument("--max_outputs", type=int, default=100)
+    p.add_argument("--top_k", type=int, default=1024,
+                   help="NMS candidate pool for the two-stage path; the "
+                        "fused dense-NMS path (auto on TPU) is equivalent "
+                        "to top_k=M and ignores this")
     p.add_argument("--resize_mode", choices=("resize_pad", "stretch"),
                    default=None,
                    help="default: the family's training resize mode")
@@ -187,7 +191,7 @@ def main(argv=None):
         )
         boxes, probs = decode(outs)
         return P.detections_from_dense(
-            boxes, probs, iou_thresh=args.iou_thresh,
+            boxes, probs, top_k=args.top_k, iou_thresh=args.iou_thresh,
             score_thresh=args.cls_thresh, max_outputs=args.max_outputs,
             class_aware_candidates=args.class_aware_candidates,
         )
