@@ -1,0 +1,111 @@
+"""Export a trained detector to a serving bundle (StableHLO + weights).
+
+New entry point beyond the reference (whose deployment path was "run the
+training script's Python again"): freezes the measured eval pipeline
+(forward → decode → NMS, same graph as `cli.evaluate`) into
+batch-bucketed `jax.export` artifacts that a serving host replays without
+detectax model code. After exporting, the bundle is reloaded and verified
+against the live model on a random batch (max |Δ| printed) so a bundle on
+disk is a bundle that ran.
+
+    python -m detectax.cli.export_model --family fcos --backbone resnet50 \
+        --ckpt_dir ckpt --num_classes 20 --out_dir bundle --buckets 1 4 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from detectax.cli.evaluate import TRAIN_GEOMETRY, build_family
+from detectax.infer.export import load_bundle, make_serving_fn, save_bundle
+from detectax.train.driver import restore_for_inference
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--family", default="fcos")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--ckpt_dir", default="ckpt")
+    p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--canvas", type=int, default=None,
+                   help="default: the family's training canvas")
+    p.add_argument("--buckets", type=int, nargs="+", default=[1, 8])
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--top_k", type=int, default=1024)
+    p.add_argument("--iou_thresh", type=float, default=0.5)
+    p.add_argument("--cls_thresh", type=float, default=0.05)
+    p.add_argument("--max_outputs", type=int, default=100)
+    p.add_argument("--class_aware_candidates", action="store_true")
+    p.add_argument("--center", action="store_true")
+    p.add_argument("--box_scales", type=float, nargs="+",
+                   default=[32.0, 64.0, 128.0, 256.0, 512.0])
+    p.add_argument("--anchor_sizes", type=float, nargs="+",
+                   default=[20.0, 40.0, 80.0, 160.0, 320.0])
+    p.add_argument("--n_filters", type=int, default=12)
+    p.add_argument("--n_stacks", type=int, default=1)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--platforms", nargs="+", default=None,
+                   help="e.g. 'tpu cpu' for a multi-platform artifact; "
+                        "default: the current backend")
+    args = p.parse_args(argv)
+
+    geo_mode, geo_pad, geo_norm, geo_canvas = TRAIN_GEOMETRY[args.family]
+    if args.canvas is None:
+        args.canvas = geo_canvas
+    model, decode = build_family(
+        args.family, args.num_classes, args.backbone, args.canvas, args
+    )
+    state = restore_for_inference(
+        args.ckpt_dir, model, args.canvas, use_ema=args.ema
+    )
+    serving_fn = make_serving_fn(
+        model, decode, top_k=args.top_k, iou_thresh=args.iou_thresh,
+        score_thresh=args.cls_thresh, max_outputs=args.max_outputs,
+        class_aware_candidates=args.class_aware_candidates,
+    )
+    manifest = save_bundle(
+        args.out_dir, serving_fn, state.params, state.batch_stats,
+        canvas=args.canvas, buckets=args.buckets,
+        platforms=args.platforms,
+        manifest_extra={
+            "family": args.family,
+            "backbone": args.backbone,
+            "num_classes": args.num_classes,
+            "resize_mode": geo_mode,
+            "pad_position": geo_pad,
+            "normalize": geo_norm,
+            "nms": {
+                "top_k": args.top_k, "iou_thresh": args.iou_thresh,
+                "score_thresh": args.cls_thresh,
+                "max_outputs": args.max_outputs,
+                "class_aware_candidates": args.class_aware_candidates,
+            },
+        },
+    )
+
+    # verify: replayed artifact == live model on a random batch
+    predictor = load_bundle(args.out_dir)
+    b = manifest["buckets"][0]
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (b, args.canvas, args.canvas, 3))
+    images = images.astype(np.float32)
+    got = predictor.predict(images)
+    want = serving_fn(state.params, state.batch_stats, images)
+    max_diff = max(
+        float(np.max(np.abs(np.asarray(want[k]).astype(np.float32)
+                            - got[k].astype(np.float32))))
+        if np.asarray(want[k]).size else 0.0
+        for k in got
+    )
+    print(json.dumps({
+        "bundle": args.out_dir,
+        "buckets": manifest["buckets"],
+        "verify_max_abs_diff": max_diff,
+    }))
+    return {"manifest": manifest, "verify_max_abs_diff": max_diff}
+
+
+if __name__ == "__main__":
+    main()

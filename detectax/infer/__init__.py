@@ -1,1 +1,1 @@
-from detectax.infer import predict, visualize  # noqa: F401
+from detectax.infer import export, predict, serving, visualize  # noqa: F401

@@ -133,6 +133,21 @@ def test_evaluate_cli_after_training(tmp_path):
     assert "mAP@0.5" in summary
     assert 0.0 <= summary["mAP@0.5"] <= 1.0
     assert summary["num_images"] == 16
+    # --top_k plumbs into detections_from_dense's two-stage candidate
+    # pool (the dense-crowd eval path uses 2048); a tiny pool must still
+    # produce a valid summary on the CPU two-stage path.
+    small_pool = evaluate.main([
+        "--family", "fcos",
+        "--backbone", "tiny",
+        "--canvas", "64",
+        "--batch_size", "8",
+        "--synthetic_n", "16",
+        "--max_boxes", "8",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--cls_thresh", "0.05",
+        "--top_k", "16",
+    ])
+    assert 0.0 <= small_pool["mAP@0.5"] <= 1.0
 
 
 @pytest.mark.slow

@@ -1,0 +1,134 @@
+"""Serving export + bucketed Predictor: round-trip and batching contracts.
+
+The exported StableHLO artifact must reproduce the live model bit-for-bit
+on the same platform, the weights msgpack must rehydrate into the
+artifact's input tree, and the Predictor's pad-to-bucket chunking must be
+invisible in the results (pad rows dropped, per-image outputs identical
+to a direct full-batch call).
+"""
+import numpy as np
+import pytest
+
+from detectax.infer.export import (
+    load_bundle,
+    make_serving_fn,
+    preprocess_images,
+    save_bundle,
+)
+from detectax.infer.serving import Predictor
+
+
+@pytest.fixture(scope="module")
+def tiny_fcos():
+    import jax
+    from detectax.cli.evaluate import build_family
+
+    class A:
+        center = False
+        box_scales = [8.0, 16.0, 32.0, 48.0, 64.0]
+        anchor_sizes = [8.0, 16.0, 24.0, 32.0, 48.0]
+        n_filters = 4
+        n_stacks = 1
+
+    model, decode = build_family("fcos", 5, "tiny", 64, A())
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32), train=False
+    )
+    fn = make_serving_fn(model, decode, top_k=64, max_outputs=16)
+    return fn, variables["params"], variables["batch_stats"]
+
+
+def test_export_roundtrip_matches_live(tmp_path, tiny_fcos):
+    fn, params, batch_stats = tiny_fcos
+    save_bundle(
+        str(tmp_path / "bundle"), fn, params, batch_stats,
+        canvas=64, buckets=(2,),
+    )
+    predictor = load_bundle(str(tmp_path / "bundle"))
+    rng = np.random.default_rng(1)
+    images = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    got = predictor.predict(images)
+    want = fn(params, batch_stats, images)
+    for k in ("boxes", "scores", "classes", "valid", "num_valid"):
+        np.testing.assert_allclose(
+            got[k].astype(np.float32),
+            np.asarray(want[k]).astype(np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
+def test_predictor_bucket_plan_and_padding(tiny_fcos):
+    fn, params, batch_stats = tiny_fcos
+    predictor = Predictor.for_model(
+        fn, params, batch_stats, canvas=64, buckets=(1, 2, 4)
+    )
+    assert predictor._plan(7) == [4, 2, 1]
+    assert predictor._plan(3) == [2, 1]
+    # tail needs padding: 5 with buckets (2, 4) -> [4, 2(pad 1)]
+    p2 = Predictor.for_model(fn, params, batch_stats, canvas=64,
+                             buckets=(2, 4))
+    assert p2._plan(5) == [4, 2]
+
+    rng = np.random.default_rng(2)
+    images = rng.uniform(-1, 1, (5, 64, 64, 3)).astype(np.float32)
+    got = p2.predict(images)
+    want = fn(params, batch_stats, images)
+    assert got["boxes"].shape[0] == 5
+    np.testing.assert_allclose(
+        got["scores"], np.asarray(want["scores"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        got["num_valid"], np.asarray(want["num_valid"])
+    )
+
+
+def test_predictor_warmup(tiny_fcos):
+    fn, params, batch_stats = tiny_fcos
+    predictor = Predictor.for_model(
+        fn, params, batch_stats, canvas=64, buckets=(1,)
+    )
+    predictor.warmup()  # compiles without error
+
+
+def test_preprocess_images_geometry():
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.integers(0, 255, (48, 96, 3), np.uint8),
+        rng.integers(0, 255, (128, 64, 3), np.uint8),
+    ]
+    batch, content_hw = preprocess_images(
+        imgs, canvas=64, resize_mode="resize_pad", pad_position="topleft",
+        normalize="tf",
+    )
+    assert batch.shape == (2, 64, 64, 3)
+    assert batch.dtype == np.float32
+    # aspect preserved: 48x96 -> content 32x64, 128x64 -> 64x32
+    assert content_hw[0] == (32, 64)
+    assert content_hw[1] == (64, 32)
+    # tf normalization range
+    assert batch.min() >= -1.0 - 1e-6 and batch.max() <= 1.0 + 1e-6
+
+
+def test_export_cli_end_to_end(tmp_path):
+    """Train 4 steps, export a bundle, reload it, and check the CLI's
+    self-verification reports (near-)zero divergence."""
+    from detectax.cli import export_model, train_fcos
+
+    train_fcos.main([
+        "--backbone", "tiny", "--canvas", "64", "--batch_size", "8",
+        "--max_steps", "4", "--display_step", "2", "--step_save", "4",
+        "--synthetic_n", "16", "--max_boxes", "8",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--out_dir", str(tmp_path / "out"),
+    ])
+    res = export_model.main([
+        "--family", "fcos", "--backbone", "tiny",
+        "--num_classes", "3", "--canvas", "64",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--out_dir", str(tmp_path / "bundle"),
+        "--buckets", "1", "--top_k", "64", "--max_outputs", "16",
+    ])
+    assert res["verify_max_abs_diff"] < 1e-4
+    assert (tmp_path / "bundle" / "manifest.json").exists()
+    assert (tmp_path / "bundle" / "weights.msgpack").exists()
+    assert (tmp_path / "bundle" / "serving_b1.stablehlo").exists()
