@@ -38,20 +38,22 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=1024)
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True)
+    # family knobs (same flags as cli.export_model; must match any real
+    # checkpoint's architecture — defaults are the trainer defaults)
+    p.add_argument("--center", action="store_true")
+    p.add_argument("--box_scales", type=float, nargs="+",
+                   default=[32.0, 64.0, 128.0, 256.0, 512.0])
+    p.add_argument("--anchor_sizes", type=float, nargs="+",
+                   default=[20.0, 40.0, 80.0, 160.0, 320.0])
+    p.add_argument("--n_filters", type=int, default=12)
+    p.add_argument("--n_stacks", type=int, default=1)
     args = p.parse_args(argv)
 
     from detectax.cli.evaluate import build_family
     from detectax.infer.export import make_serving_fn
 
-    class A:
-        center = False
-        box_scales = [32.0, 64.0, 128.0, 256.0, 512.0]
-        anchor_sizes = [20.0, 40.0, 80.0, 160.0, 320.0]
-        n_filters = 12
-        n_stacks = 1
-
     model, decode = build_family(
-        args.family, args.num_classes, args.backbone, args.canvas, A()
+        args.family, args.num_classes, args.backbone, args.canvas, args
     )
     if args.bf16 and hasattr(model, "dtype"):
         model = model.clone(dtype=jnp.bfloat16)
@@ -60,7 +62,8 @@ def main(argv=None):
         np.zeros((1, args.canvas, args.canvas, 3), np.float32),
         train=False,
     )
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     fn = jax.jit(make_serving_fn(model, decode, top_k=args.top_k))
 
     rng = np.random.default_rng(0)

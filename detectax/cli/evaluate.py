@@ -72,7 +72,11 @@ def build_family(family, nc, backbone, canvas, args):
         return model, lambda out: P.centernet_s8_decode(out, box_scales=scales)
     if family == "centernet_heatmap":
         model = CenterNetFPNSingle(num_classes=nc, backbone=backbone)
-        return model, lambda out: P.centernet_heatmap_decode(out)
+        # decode_pallas False -> Pallas-free peak mask (multi-platform export)
+        dp = getattr(args, "decode_pallas", None)
+        return model, lambda out: P.centernet_heatmap_decode(
+            out, use_pallas=dp
+        )
     if family == "hourglass":
         model = HourglassNet(num_classes=nc, n_filters=args.n_filters)
         scales = tuple(canvas / (2.0 ** x) for x in reversed(range(4)))

@@ -49,11 +49,41 @@ def main(argv=None):
     p.add_argument("--platforms", nargs="+", default=None,
                    help="e.g. 'tpu cpu' for a multi-platform artifact; "
                         "default: the current backend")
+    p.add_argument("--fused", choices=("auto", "on", "off"), default="auto",
+                   help="dense one-kernel NMS path: 'auto' picks per "
+                        "platform at lowering (lax.platform_dependent — "
+                        "safe for multi-platform artifacts), 'on'/'off' "
+                        "force it")
+    p.add_argument("--verify_tol", type=float, default=1e-4,
+                   help="max |replayed - live| allowed by the post-export "
+                        "self-verification; exceeded -> non-zero exit")
     args = p.parse_args(argv)
+
+    multi_platform = args.platforms is not None and len(args.platforms) > 1
+    if multi_platform and args.fused == "on":
+        raise SystemExit(
+            "--fused on is incompatible with a multi-platform artifact: "
+            "the fused path's Pallas kernel cannot lower for CPU; use "
+            "--fused off (or a single --platforms entry)"
+        )
+    if multi_platform:
+        # multi-platform artifacts must be Pallas-free (infer.export
+        # docstring); force the pure-XLA twins everywhere
+        args.fused = "off"
+        args.decode_pallas = False
+    else:
+        args.decode_pallas = None
 
     geo_mode, geo_pad, geo_norm, geo_canvas = TRAIN_GEOMETRY[args.family]
     if args.canvas is None:
         args.canvas = geo_canvas
+    elif args.canvas != geo_canvas:
+        print(
+            f"WARNING: --canvas {args.canvas} != {args.family}'s training "
+            f"canvas {geo_canvas}; the manifest records the family's "
+            "default geometry — served accuracy degrades unless the "
+            "checkpoint was actually trained at this canvas/geometry."
+        )
     model, decode = build_family(
         args.family, args.num_classes, args.backbone, args.canvas, args
     )
@@ -64,6 +94,8 @@ def main(argv=None):
         model, decode, top_k=args.top_k, iou_thresh=args.iou_thresh,
         score_thresh=args.cls_thresh, max_outputs=args.max_outputs,
         class_aware_candidates=args.class_aware_candidates,
+        fused={"auto": None, "on": True, "off": False}[args.fused],
+        pallas=False if multi_platform else None,
     )
     manifest = save_bundle(
         args.out_dir, serving_fn, state.params, state.batch_stats,
@@ -99,11 +131,19 @@ def main(argv=None):
         if np.asarray(want[k]).size else 0.0
         for k in got
     )
+    ok = max_diff <= args.verify_tol
     print(json.dumps({
         "bundle": args.out_dir,
         "buckets": manifest["buckets"],
         "verify_max_abs_diff": max_diff,
+        "verify_tol": args.verify_tol,
+        "verify_ok": ok,
     }))
+    if not ok:
+        raise SystemExit(
+            f"export verification failed: max |replayed - live| = "
+            f"{max_diff:g} > --verify_tol {args.verify_tol:g}"
+        )
     return {"manifest": manifest, "verify_max_abs_diff": max_diff}
 
 

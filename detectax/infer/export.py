@@ -49,11 +49,16 @@ def make_serving_fn(
     max_outputs: int = 100,
     class_aware_candidates: bool = False,
     fused: bool | None = None,
+    pallas: bool | None = None,
 ) -> Callable:
     """The serving graph: ``fn(params, batch_stats, images) -> detections``
     — identical composition to `cli.evaluate`'s measured eval pipeline.
     Returns the `ops.nms` detection dict (boxes/scores/classes/valid/
-    num_valid), padded to ``max_outputs``."""
+    num_valid), padded to ``max_outputs``.
+
+    ``pallas=False`` builds a Pallas-free graph (pure-XLA NMS twins) —
+    required when exporting one artifact for several platforms (see
+    `export_detector`)."""
 
     def fn(params, batch_stats, images):
         outs = model.apply(
@@ -65,6 +70,7 @@ def make_serving_fn(
             boxes, probs, top_k=top_k, iou_thresh=iou_thresh,
             score_thresh=score_thresh, max_outputs=max_outputs,
             class_aware_candidates=class_aware_candidates, fused=fused,
+            pallas=pallas,
         )
 
     return fn
@@ -80,10 +86,18 @@ def export_detector(
     platforms: Sequence[str] | None = None,
 ):
     """Export ``serving_fn`` at a concrete ``[batch, canvas, canvas, 3]``
-    f32 input shape. ``platforms=None`` targets the current default
-    backend; pass e.g. ``("tpu",)`` or ``("tpu", "cpu")`` to pin/broaden
-    (multi-platform lowering covers both serving targets in one
-    artifact)."""
+    f32 input shape.
+
+    ``platforms=None`` targets the current default backend. Pass e.g.
+    ``("tpu",)`` to cross-export a TPU artifact from a CPU host — the
+    Pallas-vs-XLA picks inside the serving graph are
+    `lax.platform_dependent` branches resolved at lowering, not trace-time
+    backend sniffs, so the right kernels land regardless of the exporting
+    host. Multi-platform artifacts (``("tpu", "cpu")``) additionally
+    require a Pallas-free graph (``make_serving_fn(..., pallas=False)``):
+    JAX's multi-platform lowering runs every platform's rule for a
+    pallas_call eqn even inside an unselected platform branch, and the
+    pallas CPU rule rejects compiled mode."""
     img_spec = jax.ShapeDtypeStruct((batch, canvas, canvas, 3), jnp.float32)
     spec = lambda t: jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), t

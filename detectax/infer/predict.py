@@ -154,7 +154,6 @@ def centernet_heatmap_decode(
         peak_mask_scores_pallas,
         peak_mask_scores_reference,
     )
-    from detectax.ops.pallas._common import on_tpu
 
     b, h, w, _ = output.shape
     reg = output[..., :4]
@@ -167,14 +166,21 @@ def centernet_heatmap_decode(
     if use_centerness:
         probs = probs * _sigmoid(cen.astype(jnp.float32))[..., None]
     if peak_mask:
-        if use_pallas is None:
-            use_pallas = on_tpu()
         c = probs.shape[-1]
         # fold batch into the plane axis so one pallas_call covers all
         # [B*C] class planes (grid over planes; no vmap needed)
         planes = jnp.transpose(probs, (1, 2, 0, 3)).reshape(h, w, b * c)
-        fn = peak_mask_scores_pallas if use_pallas else peak_mask_scores_reference
-        planes = fn(planes)
+        if use_pallas is None:
+            # per-platform lowering (multi-platform export safe, r3 ADVICE)
+            planes = jax.lax.platform_dependent(
+                planes,
+                tpu=lambda p: peak_mask_scores_pallas(p, interpret=False),
+                default=peak_mask_scores_reference,
+            )
+        else:
+            fn = (peak_mask_scores_pallas if use_pallas
+                  else peak_mask_scores_reference)
+            planes = fn(planes)
         probs = jnp.transpose(planes.reshape(h, w, b, c), (2, 0, 1, 3))
     return boxes.reshape(b, -1, 4), probs.reshape(b, h * w, probs.shape[-1])
 
@@ -203,7 +209,7 @@ def retinanet_decode(
     static_argnames=(
         "top_k", "iou_thresh", "score_thresh", "max_outputs",
         "class_aware", "mode", "soft_sigma", "class_aware_candidates",
-        "fused",
+        "fused", "pallas",
     ),
 )
 def detections_from_dense(
@@ -219,6 +225,7 @@ def detections_from_dense(
     soft_sigma: float = 0.3,
     class_aware_candidates: bool = False,
     fused: bool | None = None,
+    pallas: bool | None = None,
 ):
     """Batched candidate selection + NMS over dense (boxes, probs).
 
@@ -236,37 +243,54 @@ def detections_from_dense(
     path (`FCOS/infer_fcos.py:58-61`). False ranks each box only under its
     argmax class (the reference `cpu_nms` path,
     `RetinaNet/retinanet_module.py:510-524`).
+
+    ``pallas=False`` keeps the whole graph free of Pallas primitives (the
+    pure-XLA/jnp twins everywhere) — required for multi-platform
+    ``jax.export`` artifacts, where JAX lowers every platform rule of a
+    pallas_call eqn even inside an unselected `platform_dependent` branch.
     """
+    # f32 from here on: NMS geometry needs the precision, and the fused /
+    # two-stage platform branches must agree on output avals.
+    boxes = boxes.astype(jnp.float32)
+    probs = probs.astype(jnp.float32)
+
+    def fused_single(bx, pr):
+        return nms_lib.dense_nms(
+            bx, jnp.max(pr, axis=-1),
+            jnp.argmax(pr, axis=-1).astype(jnp.int32),
+            iou_thresh=iou_thresh, score_thresh=score_thresh,
+            max_outputs=max_outputs, class_aware=class_aware,
+            use_pallas=pallas,
+        )
+
+    def twostage_single(bx, pr):
+        cb, cs, cc = nms_lib.select_top_k(
+            bx, pr, top_k, class_aware_candidates=class_aware_candidates
+        )
+        return nms_lib.nms(
+            cb, cs, cc,
+            iou_thresh=iou_thresh, score_thresh=score_thresh,
+            max_outputs=max_outputs, class_aware=class_aware,
+            mode=mode, soft_sigma=soft_sigma, use_pallas=pallas,
+        )
 
     if fused is None:
-        try:
-            from detectax.ops.pallas._common import on_tpu
-
-            fused = (
-                on_tpu() and mode == "hard" and not class_aware_candidates
-            )
-        except Exception:  # pragma: no cover
-            fused = False
-
-    if fused:
-        def single(bx, pr):
-            return nms_lib.dense_nms(
-                bx, jnp.max(pr, axis=-1),
-                jnp.argmax(pr, axis=-1).astype(jnp.int32),
-                iou_thresh=iou_thresh, score_thresh=score_thresh,
-                max_outputs=max_outputs, class_aware=class_aware,
-            )
+        if pallas is False:
+            single = twostage_single  # pallas-free: two-stage everywhere
+        elif mode == "hard" and not class_aware_candidates:
+            # Per-platform structure choice via `lax.platform_dependent`
+            # (not a trace-time `on_tpu()` pick): preserves the measured
+            # defaults — fused one-kernel NMS on TPU, two-stage elsewhere —
+            # while letting a multi-platform `jax.export` artifact lower
+            # every requested platform (r3 ADVICE.md medium).
+            def single(bx, pr):
+                return jax.lax.platform_dependent(
+                    bx, pr, tpu=fused_single, default=twostage_single
+                )
+        else:
+            single = twostage_single  # soft/combined: two-stage only
     else:
-        def single(bx, pr):
-            cb, cs, cc = nms_lib.select_top_k(
-                bx, pr, top_k, class_aware_candidates=class_aware_candidates
-            )
-            return nms_lib.nms(
-                cb, cs, cc,
-                iou_thresh=iou_thresh, score_thresh=score_thresh,
-                max_outputs=max_outputs, class_aware=class_aware,
-                mode=mode, soft_sigma=soft_sigma,
-            )
+        single = fused_single if fused else twostage_single
 
     return jax.vmap(single)(boxes, probs)
 

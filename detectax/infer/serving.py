@@ -75,12 +75,26 @@ class Predictor:
             )
             np.asarray(out["num_valid"])  # force completion (relay-safe)
 
+    # Detection-dict keys every detectax serving graph returns
+    # (`ops.nms` contract) — used to shape the n==0 early return.
+    _DET_KEYS = ("boxes", "scores", "classes", "valid", "num_valid")
+
     def predict(self, images: np.ndarray) -> dict:
         """images: [n, canvas, canvas, 3] float32 (already preprocessed —
         see `infer.export.preprocess_images`). Returns the detection dict
         with leading dim n (pad rows removed)."""
         images = np.asarray(images, dtype=np.float32)
+        if images.ndim != 4 or images.shape[1:3] != (self.canvas,
+                                                     self.canvas):
+            raise ValueError(
+                f"expected images [n, {self.canvas}, {self.canvas}, 3] "
+                f"(the bundle's canvas), got {images.shape}; preprocess "
+                "with infer.export.preprocess_images"
+            )
         n = images.shape[0]
+        if n == 0:
+            # empty request: empty detection dict, no device dispatch
+            return {k: np.zeros((0,), np.float32) for k in self._DET_KEYS}
         outs, taken = [], 0
         for b in self._plan(n):
             chunk = images[taken:taken + b]

@@ -174,6 +174,34 @@ def nms(
     scores_s = scores[order]
     classes_s = classes[order]
 
+    def _xla_keep(bx, cl):
+        iou = pairwise_iou_corners(bx, bx)
+        if class_aware:
+            same_class = cl[:, None] == cl[None, :]
+            iou = iou * same_class.astype(iou.dtype)
+        return _suppression_mask(iou, iou_thresh)
+
+    def _pallas_keep(bx, cl):
+        from detectax.ops.pallas.nms_kernel import suppression_mask_pallas
+
+        return suppression_mask_pallas(
+            bx, iou_thresh, classes=cl if class_aware else None,
+            interpret=False,
+        )
+
+    if use_pallas is None and mode == "hard" and (
+        boxes.shape[0] >= PALLAS_SUPPRESSION_MIN_K
+    ):
+        # Per-platform lowering (not a trace-time `on_tpu()` pick): every
+        # platform of a multi-platform `jax.export` artifact gets a branch
+        # it can actually lower — the Pallas sweep on TPU, the [K, K]
+        # fori-loop elsewhere (r3 ADVICE.md medium).
+        keep = jax.lax.platform_dependent(
+            boxes_s, classes_s, tpu=_pallas_keep, default=_xla_keep
+        )
+        keep = keep & (scores_s >= score_thresh)
+        return _compact(boxes_s, scores_s, classes_s, keep, max_outputs)
+
     if use_pallas is None:
         use_pallas = mode == "hard" and _use_pallas_suppression(
             boxes.shape[0]
@@ -211,13 +239,18 @@ def nms(
         keep = _suppression_mask(iou, iou_thresh)
         keep = keep & (scores_s >= score_thresh)
 
-    # Compact kept entries to the front, pad to max_outputs.
-    rank = jnp.where(keep, jnp.cumsum(keep) - 1, boxes.shape[0])
+    return _compact(boxes_s, scores_s, classes_s, keep, max_outputs)
+
+
+def _compact(boxes_s, scores_s, classes_s, keep, max_outputs: int):
+    """Compact kept entries to the front, pad to max_outputs."""
+    k = boxes_s.shape[0]
+    rank = jnp.where(keep, jnp.cumsum(keep) - 1, k)
     out_idx = jnp.argsort(
-        jnp.where(keep, rank, boxes.shape[0] + jnp.arange(boxes.shape[0]))
+        jnp.where(keep, rank, k + jnp.arange(k))
     )[:max_outputs]
     valid = keep[out_idx]
-    vf = valid.astype(boxes.dtype)
+    vf = valid.astype(boxes_s.dtype)
     return {
         "boxes": boxes_s[out_idx] * vf[:, None],
         "scores": scores_s[out_idx] * vf,
@@ -272,16 +305,20 @@ def dense_nms(
         dense_nms_reference,
     )
 
-    if use_pallas is None:
-        try:
-            from detectax.ops.pallas._common import on_tpu
-
-            use_pallas = on_tpu()
-        except Exception:  # pragma: no cover
-            use_pallas = False
-    fn = dense_nms_pallas if use_pallas else dense_nms_reference
-    return fn(
-        boxes, scores, classes, iou_thresh=iou_thresh,
-        score_thresh=score_thresh, max_outputs=max_outputs,
-        class_aware=class_aware,
+    kw = dict(
+        iou_thresh=iou_thresh, score_thresh=score_thresh,
+        max_outputs=max_outputs, class_aware=class_aware,
     )
+    if use_pallas is None:
+        # Per-platform lowering so multi-platform exports work (see `nms`):
+        # identical algorithm on both branches — the Pallas kernel on TPU,
+        # its pure-jnp twin elsewhere — so artifact numerics agree across
+        # platforms.
+        return jax.lax.platform_dependent(
+            boxes, scores, classes,
+            tpu=lambda b, s, c: dense_nms_pallas(b, s, c, interpret=False,
+                                                 **kw),
+            default=lambda b, s, c: dense_nms_reference(b, s, c, **kw),
+        )
+    fn = dense_nms_pallas if use_pallas else dense_nms_reference
+    return fn(boxes, scores, classes, **kw)

@@ -19,7 +19,7 @@ from detectax.infer.serving import Predictor
 
 
 @pytest.fixture(scope="module")
-def tiny_fcos():
+def tiny_fcos_model():
     import jax
     from detectax.cli.evaluate import build_family
 
@@ -34,8 +34,14 @@ def tiny_fcos():
     variables = model.init(
         jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32), train=False
     )
+    return model, decode, variables["params"], variables["batch_stats"]
+
+
+@pytest.fixture(scope="module")
+def tiny_fcos(tiny_fcos_model):
+    model, decode, params, batch_stats = tiny_fcos_model
     fn = make_serving_fn(model, decode, top_k=64, max_outputs=16)
-    return fn, variables["params"], variables["batch_stats"]
+    return fn, params, batch_stats
 
 
 def test_export_roundtrip_matches_live(tmp_path, tiny_fcos):
@@ -132,3 +138,53 @@ def test_export_cli_end_to_end(tmp_path):
     assert (tmp_path / "bundle" / "manifest.json").exists()
     assert (tmp_path / "bundle" / "weights.msgpack").exists()
     assert (tmp_path / "bundle" / "serving_b1.stablehlo").exists()
+
+
+def test_multi_platform_export_lowers_and_runs(tmp_path, tiny_fcos_model):
+    """A ('tpu', 'cpu') artifact must lower and its CPU half must execute —
+    requires the Pallas-free serving graph (r3 ADVICE medium; see
+    infer.export.export_detector docstring)."""
+    model, decode, params, batch_stats = tiny_fcos_model
+    fn = make_serving_fn(model, decode, top_k=64, max_outputs=16,
+                         fused=False, pallas=False)
+    save_bundle(
+        str(tmp_path / "mp_bundle"), fn, params, batch_stats,
+        canvas=64, buckets=(1,), platforms=("tpu", "cpu"),
+    )
+    predictor = load_bundle(str(tmp_path / "mp_bundle"))
+    rng = np.random.default_rng(4)
+    images = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    got = predictor.predict(images)
+    want = fn(params, batch_stats, images)
+    np.testing.assert_allclose(
+        got["scores"], np.asarray(want["scores"]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tpu_cross_export_from_cpu_host(tiny_fcos):
+    """Exporting a TPU-only artifact from this CPU backend must lower the
+    *Pallas* NMS branch (lax.platform_dependent resolves per lowering
+    platform, not per tracing backend) — previously impossible with the
+    trace-time on_tpu() pick."""
+    import jax
+
+    from detectax.infer.export import export_detector
+
+    fn, params, batch_stats = tiny_fcos
+    ex = export_detector(
+        fn, params, batch_stats, batch=1, canvas=64, platforms=("tpu",)
+    )
+    assert ex.platforms == ("tpu",)
+    assert "tpu_custom_call" in ex.mlir_module()
+
+
+def test_predictor_empty_and_wrong_shape(tiny_fcos):
+    fn, params, batch_stats = tiny_fcos
+    predictor = Predictor.for_model(
+        fn, params, batch_stats, canvas=64, buckets=(1,)
+    )
+    out = predictor.predict(np.zeros((0, 64, 64, 3), np.float32))
+    assert set(out) >= {"boxes", "scores", "num_valid"}
+    assert all(v.shape[0] == 0 for v in out.values())
+    with pytest.raises(ValueError, match="canvas"):
+        predictor.predict(np.zeros((1, 32, 32, 3), np.float32))
