@@ -92,3 +92,70 @@ def test_multi_image_accumulation():
     # 1 TP over 2 GT: max recall 0.5 at precision 1.0
     assert s["per_class_ap50"][0] == pytest.approx(0.5)
     assert s["num_images"] == 2
+
+
+def test_area_binned_ap_isolates_bins():
+    """A small GT (20x20=400 < 32^2) and a large GT (200x200 > 96^2), each
+    matched perfectly: AP_small and AP_large are both 1.0, AP_medium has no
+    GT (None)."""
+    ev = MeanAPEvaluator(num_classes=1)
+    gt = np.array([[0, 0, 20, 20], [300, 300, 500, 500]], np.float32)
+    ev.add_image(gt, [0.9, 0.8], [0, 0], gt, [0, 0])
+    s = ev.summarize()
+    assert s["AP_small"] == pytest.approx(1.0)
+    assert s["AP_large"] == pytest.approx(1.0)
+    assert s["AP_medium"] is None
+    assert s["AR@100"] == pytest.approx(1.0)
+
+
+def test_area_binned_ignore_protocol():
+    """A detection matching an out-of-bin GT must be IGNORED for that bin
+    (not an FP), and an unmatched det outside the bin is ignored too."""
+    ev = MeanAPEvaluator(num_classes=1)
+    gt = np.array([[0, 0, 20, 20], [300, 300, 500, 500]], np.float32)
+    # det 1 hits the small GT; det 2 hits the large GT; det 3 is a large
+    # unmatched box (FP for 'large'/'all' but ignored for 'small')
+    dets = np.array(
+        [[0, 0, 20, 20], [300, 300, 500, 500], [600, 600, 800, 800]],
+        np.float32,
+    )
+    ev.add_image(dets, [0.9, 0.8, 0.7], [0, 0, 0], gt, [0, 0])
+    s = ev.summarize()
+    # small bin: the large-GT match and the stray large det are both
+    # ignored -> perfect PR curve
+    assert s["AP_small"] == pytest.approx(1.0)
+    # large bin: TP at rank 1, FP at rank 2 -> still AP 1.0 (recall 1
+    # reached before the FP)
+    assert s["AP_large"] == pytest.approx(1.0)
+    # overall recall unaffected by the FP
+    assert s["AR@100"] == pytest.approx(1.0)
+
+
+def test_area_binned_fp_counts_in_own_bin():
+    """An unmatched small det IS an FP for the small bin when ranked above
+    the TP."""
+    ev = MeanAPEvaluator(num_classes=1)
+    gt = np.array([[0, 0, 20, 20]], np.float32)
+    dets = np.array([[100, 100, 118, 118], [0, 0, 20, 20]], np.float32)
+    ev.add_image(dets, [0.9, 0.8], [0, 0], gt, [0])
+    s = ev.summarize()
+    # FP first, TP second: precision at recall 1.0 is 0.5
+    assert s["AP_small"] == pytest.approx(0.5)
+    assert s["AR@100"] == pytest.approx(1.0)
+
+
+def test_ar100_caps_detections():
+    """Only the top-100 dets count toward AR@100: a GT matched by det
+    ranked 101+ is a miss."""
+    ev = MeanAPEvaluator(num_classes=1)
+    gt = np.array([[0, 0, 50, 50]], np.float32)
+    # 100 high-scoring junk dets far away + 1 low-scoring perfect match
+    junk = np.tile(np.array([[500, 500, 540, 540]], np.float32), (100, 1))
+    junk += np.arange(100, dtype=np.float32)[:, None] * 50.0
+    dets = np.concatenate([junk, gt])
+    scores = [0.9] * 100 + [0.1]
+    ev.add_image(dets, scores, [0] * 101, gt, [0])
+    s = ev.summarize()
+    assert s["AR@100"] == pytest.approx(0.0)
+    # headline AP is NOT capped (VOC protocol uses everything)
+    assert s["per_class_ap50"][0] > 0.0
