@@ -8,8 +8,15 @@ target assignment, forward, loss, backward, clip, and SGD update. Includes
 measured step time and the TPU v5e bf16 peak (197 TFLOP/s; the often-quoted
 394 figure is the int8 peak).
 
-Line 2: single-image inference decode+NMS latency (FCOS 5-level decode,
+Line 1b: the same step in the best known live-statistics configuration
+(`DETECTAX_BN_STAT_SUBSET=4`, BASELINE.md r3 lever table) so the driver
+record includes the framework's actual capability, not only the default.
+
+Last line: single-image inference decode+NMS latency (FCOS 5-level decode,
 top-1024 select, class-aware NMS @ 512px) — the BASELINE.md "<10 ms" target.
+
+All train lines use a min-of-3-windows protocol (relay congestion swings
+single-window wall-clock ~±15%; BASELINE.md r3).
 
 `vs_baseline` compares against the measured reference-semantics baseline:
 the TF2/Keras eager per-image GradientTape loop (ResNet-50 FPN, 384px, CPU)
@@ -62,13 +69,7 @@ def _step_flops(step_fn, state, batch_data) -> float | None:
         return None
 
 
-def bench_train():
-    img = int(os.environ.get("BENCH_IMG", "384"))
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
-    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
-    nc = 20
-
+def _make_train_setup(img: int, batch: int, backbone: str, nc: int = 20):
     from detectax.models import FCOS
     from detectax.ops import assign
     from detectax.train import losses as det_losses
@@ -94,14 +95,17 @@ def bench_train():
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((batch, img, img, 3)), opt
     )
+    return step, state
 
+
+def _train_batch(img: int, batch: int, nc: int = 20):
     rng = np.random.default_rng(0)
     boxes = np.zeros((batch, 16, 4), np.float32)
     boxes[:, :, 0] = rng.uniform(0.3, 0.7, (batch, 16))
     boxes[:, :, 1] = rng.uniform(0.3, 0.7, (batch, 16))
     boxes[:, :, 2] = rng.uniform(0.05, 0.5, (batch, 16))
     boxes[:, :, 3] = rng.uniform(0.05, 0.5, (batch, 16))
-    batch_data = {
+    return {
         "images": jnp.asarray(
             rng.normal(size=(batch, img, img, 3)).astype(np.float32)
         ),
@@ -112,32 +116,48 @@ def bench_train():
         "valid": jnp.ones((batch, 16), bool),
     }
 
-    flops = _step_flops(step, state, batch_data)
 
+def _timed_sec_per_step(step, state, batch_data, steps: int, windows: int):
+    """min-of-N-windows step time: relay congestion swings wall-clock
+    ~±15% minute-to-minute (BASELINE.md r3), so a single window aliases
+    congestion into the trend; the min window is the stable estimator the
+    microbenchmarks already use. Each window fetches a param value as the
+    completion barrier (block_until_ready does not wait through the
+    relay)."""
     # warmup: compile + 3 steps, forcing full materialization each time
     for _ in range(3):
         state, metrics = step(state, batch_data)
         _ = float(metrics["total"])
         _ = _force(jax.tree_util.tree_leaves(state.params)[0])
+    per = max(1, steps // windows)
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            state, metrics = step(state, batch_data)
+        _ = _force(jax.tree_util.tree_leaves(state.params)[0])
+        best = min(best, (time.perf_counter() - t0) / per)
+    return best, float(metrics["total"]), per
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, batch_data)
-    # completion barrier: fetch a value from the *updated params* so the
-    # final optimizer update is inside the timed window (block_until_ready
-    # does not wait through the relay)
-    _ = _force(jax.tree_util.tree_leaves(state.params)[0])
-    dt = time.perf_counter() - t0
-    total = float(metrics["total"])
 
-    rate = steps * batch / dt
-    sec_per_step = dt / steps
+def _print_train_line(metric: str, img: int, batch: int, steps: int,
+                      windows: int, backbone: str, note: str | None = None):
+    step, state = _make_train_setup(img, batch, backbone)
+    batch_data = _train_batch(img, batch)
+    flops = _step_flops(step, state, batch_data)
+    sec_per_step, total, per = _timed_sec_per_step(
+        step, state, batch_data, steps, windows
+    )
+    rate = batch / sec_per_step
     detail = {
         "steps": steps,
+        "protocol": f"min-of-{windows}-windows x {per} steps",
         "sec_per_step": round(sec_per_step, 5),
         "final_loss": round(total, 3),
         "device": str(jax.devices()[0]),
     }
+    if note:
+        detail["note"] = note
     if flops is not None:
         detail["step_tflops"] = round(flops / 1e12, 3)
         detail["mfu_pct"] = round(
@@ -150,7 +170,7 @@ def bench_train():
         detail["roofline_img_per_sec"] = round(roofline_img_s, 1)
         detail["vs_roofline"] = round(rate / roofline_img_s, 3)
     result = {
-        "metric": f"train_images_per_sec_fcos_{backbone}_{img}px_b{batch}_bf16",
+        "metric": metric,
         "value": round(rate, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / CPU_REFERENCE_IMG_PER_SEC, 1),
@@ -158,7 +178,40 @@ def bench_train():
     }
     if flops is not None:
         result["mfu_pct"] = detail["mfu_pct"]
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def bench_train():
+    img = int(os.environ.get("BENCH_IMG", "384"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
+
+    # Line 1 (headline, trend-comparable with r1-r3): default training-BN
+    # configuration.
+    _print_train_line(
+        f"train_images_per_sec_fcos_{backbone}_{img}px_b{batch}_bf16",
+        img, batch, steps, windows, backbone,
+    )
+
+    # Line 1b: best known live-statistics configuration (r3 lever table,
+    # BASELINE.md): BN statistics from a B/4 example subset — recovers
+    # most of the freeze_bn gap with full training semantics. The r3
+    # VERDICT asked the driver-captured record to include what the
+    # framework can actually do, not only the worst measured config.
+    if os.environ.get("BENCH_SKIP_BEST_CONFIG") != "1":
+        os.environ["DETECTAX_BN_STAT_SUBSET"] = "4"
+        try:
+            _print_train_line(
+                f"train_images_per_sec_fcos_{backbone}_{img}px_b{batch}"
+                "_bf16_bnsubset4",
+                img, batch, steps, windows, backbone,
+                note="best-known live-stats config "
+                     "(DETECTAX_BN_STAT_SUBSET=4; BASELINE.md r3 levers)",
+            )
+        finally:
+            del os.environ["DETECTAX_BN_STAT_SUBSET"]
 
 
 def bench_decode_nms():
