@@ -151,6 +151,10 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="evaluate the EMA-averaged weights (requires "
                         "training with --ema_decay)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the eval batch over all devices "
+                        "(parallel.mesh.make_sharded_eval_fn); batch_size "
+                        "must divide by the device count")
     p.add_argument("--out_json", default=None)
     args = p.parse_args(argv)
 
@@ -185,8 +189,7 @@ def main(argv=None):
 
     import jax
 
-    @jax.jit
-    def forward_decode_nms(params, batch_stats, images):
+    def _raw_forward(params, batch_stats, images):
         # one compiled graph: forward + decode + top-k + NMS (op-by-op
         # eager dispatch is pathological through a remote TPU backend)
         outs = model.apply(
@@ -199,6 +202,26 @@ def main(argv=None):
             score_thresh=args.cls_thresh, max_outputs=args.max_outputs,
             class_aware_candidates=args.class_aware_candidates,
         )
+
+    if args.data_parallel:
+        from detectax.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh()
+        n_dev = mesh.devices.size
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"--data_parallel: batch_size {args.batch_size} must "
+                f"divide by the {n_dev}-device mesh"
+            )
+        forward_decode_nms = mesh_lib.make_sharded_eval_fn(_raw_forward,
+                                                           mesh)
+        repl = mesh_lib.replicated_sharding(mesh)
+        state = state.replace(
+            params=jax.device_put(state.params, repl),
+            batch_stats=jax.device_put(state.batch_stats, repl),
+        )
+    else:
+        forward_decode_nms = jax.jit(_raw_forward)
 
     for batch in loader:
         dets = forward_decode_nms(

@@ -111,6 +111,24 @@ def make_sharded_train_step(
     )
 
 
+def make_sharded_eval_fn(eval_fn, mesh: Mesh):
+    """Batch-sharded inference over the mesh for the eval/serving path.
+
+    ``eval_fn(params, batch_stats, images) -> detections`` (the
+    `cli.evaluate` / `infer.export.make_serving_fn` composition) is jitted
+    with params/stats replicated and the image batch sharded over "data";
+    each chip runs forward + decode + NMS on its own shard and the
+    detection dict comes back batch-sharded (no cross-chip traffic at all
+    — detection is embarrassingly data-parallel, unlike the train step's
+    gradient all-reduce).
+    """
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        eval_fn, in_shardings=(repl, repl, data), out_shardings=data
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict onto the mesh, batch axis over "data".
 

@@ -217,3 +217,22 @@ def test_train_retinanet_skip_zero_target_smoke(tmp_path):
         + ["--anchor_sizes", "8", "16", "24", "32", "48"]
     )
     _check_artifacts(tmp_path, summary)
+
+
+def test_evaluate_data_parallel_matches_single(tmp_path):
+    """--data_parallel eval (8-device CPU mesh) reproduces the
+    single-device mAP on the same tiny checkpoint."""
+    from detectax.cli import evaluate, train_fcos
+
+    train_fcos.main(_common_args(tmp_path))
+    base = [
+        "--family", "fcos", "--backbone", "tiny", "--canvas", "64",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--dataset", "synthetic", "--synthetic_n", "16",
+        "--max_boxes", "8", "--batch_size", "8",
+        "--top_k", "64", "--max_outputs", "16",
+    ]
+    single = evaluate.main(base)
+    sharded = evaluate.main(base + ["--data_parallel"])
+    assert sharded["mAP@0.5"] == pytest.approx(single["mAP@0.5"], abs=1e-6)
+    assert sharded["num_images"] == single["num_images"]

@@ -120,3 +120,41 @@ def test_fsdp_param_sharding_runs():
     batch = shard_batch({k: jnp.asarray(v) for k, v in _batch().items()}, mesh)
     new_state, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_sharded_eval_forward_matches_single_device():
+    """make_sharded_eval_fn: batch-sharded fwd+decode+NMS equals the
+    single-device pipeline on the same inputs (r3 VERDICT weak #7)."""
+    from detectax.infer import predict as P
+    from detectax.parallel.mesh import make_sharded_eval_fn
+
+    mesh = make_mesh(8)
+    model = FCOS(num_classes=NC, backbone="tiny")
+    images = np.random.default_rng(0).normal(
+        size=(8, IMG, IMG, 3)
+    ).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+
+    def eval_fn(params, batch_stats, imgs):
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=False,
+        )
+        boxes, probs = P.fcos_decode(outs)
+        return P.detections_from_dense(
+            boxes, probs, top_k=64, max_outputs=8, score_thresh=0.05
+        )
+
+    sharded = make_sharded_eval_fn(eval_fn, mesh)
+    want = jax.jit(eval_fn)(
+        variables["params"], variables["batch_stats"], jnp.asarray(images)
+    )
+    got = sharded(
+        variables["params"], variables["batch_stats"], jnp.asarray(images)
+    )
+    for k in ("boxes", "scores", "classes", "num_valid"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]).astype(np.float32),
+            np.asarray(want[k]).astype(np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
