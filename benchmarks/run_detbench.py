@@ -74,6 +74,18 @@ FAMILIES = {
         "args": ["--canvas", "512", "--init_lr", "0.01",
                  "--lr_boundaries", "3000"],
     },
+    "stacked_hourglass": {
+        # the reference's orphaned tf_centernet_hourglass.py, trained via
+        # the hourglass CLI's --variant stacked surface: true stride-4
+        # single map, centroid-only assignment, focal + smooth-L1
+        # (reference Adam regime kept, like the hourglass family)
+        "train": "detectax.cli.train_hourglass_voc",
+        "args": ["--canvas", "320", "--batch_size", "16",
+                 "--variant", "stacked", "--n_filters", "64",
+                 "--n_stacks", "2", "--steps_per_epoch", "1000",
+                 "--init_lr", "1e-3"],
+        "eval_extra": ["--n_filters", "64", "--n_stacks", "2"],
+    },
 }
 
 # Dense-crowd split (detbench_v2_crowd: 640px source, 48-128 GT/image)

@@ -93,8 +93,11 @@ def build_family(family, nc, backbone, canvas, args):
         anchors = anchor_lib.anchor_shapes_per_level(
             anchor_sizes=args.anchor_sizes
         )
-        model = RetinaNet(num_classes=nc, n_anchors=anchors[0].shape[0],
-                          backbone=backbone)
+        model = RetinaNet(
+            num_classes=nc, n_anchors=anchors[0].shape[0],
+            backbone=backbone,
+            per_anchor_heads=getattr(args, "per_anchor_heads", False),
+        )
         return model, lambda outs: P.retinanet_decode(
             outs, anchors_per_level=anchors
         )
@@ -129,6 +132,9 @@ def main(argv=None):
                    default=[20.0, 40.0, 80.0, 160.0, 320.0],
                    help="must match training (train_retinanet_coco "
                         "reference default)")
+    p.add_argument("--per_anchor_heads", action="store_true",
+                   help="retinanet: separate 3x3 head conv per (level, "
+                        "anchor) pair — must match training")
     p.add_argument("--n_filters", type=int, default=12,
                    help="hourglass width (must match training)")
     p.add_argument("--n_stacks", type=int, default=1,
