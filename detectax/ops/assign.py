@@ -77,6 +77,47 @@ def _gt_pixels(gt_yxhw, img_dim):
     return y_c, x_c, bh, bw
 
 
+def _select_rows(owner: jnp.ndarray, *columns: jnp.ndarray) -> list:
+    """Row-select per-GT values by ``owner`` index via one-hot matmul.
+
+    ``owner [...]`` indexes into per-GT vectors ``[N]`` (or ``[N, K]``).
+    On TPU a ``values[owner]`` gather over a tiny table is scalar-unit
+    bound: the r4 step profile measured the assignment's gathers at 12.3%
+    of the flagship train step running at ~2 GB/s effective (BASELINE.md
+    r4 per-op table). A one-hot ``[cells, N] @ [N, K]`` contraction is MXU
+    work instead. Columns are stacked into ONE table so each level pays a
+    single contraction; f32 matmul is exact for the small ints routed
+    through it (cell indices, 0/1 flags).
+
+    Returns the selected columns in input order, each ``[..., ]`` (vectors)
+    or ``[..., K]`` (matrices).
+    """
+    n = columns[0].shape[0]
+    widths, mats = [], []
+    for c in columns:
+        m = c.astype(jnp.float32)
+        m = m[:, None] if m.ndim == 1 else m
+        widths.append(m.shape[1])
+        mats.append(m)
+    table = jnp.concatenate(mats, axis=-1)  # [N, sum(K)]
+    sel = (
+        owner[..., None] == jnp.arange(n, dtype=owner.dtype)
+    ).astype(jnp.float32)
+    picked = sel @ table  # [..., sum(K)]
+    out, off = [], 0
+    for c, k in zip(columns, widths):
+        piece = picked[..., off:off + k]
+        off += k
+        if c.ndim == 1:
+            piece = piece[..., 0]
+            if jnp.issubdtype(c.dtype, jnp.integer):
+                piece = jnp.round(piece).astype(c.dtype)
+            elif c.dtype == jnp.bool_:
+                piece = piece > 0.5
+        out.append(piece)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # FCOS all-in-box assignment (reference FCOS/fcos.py:136-378)
 # ---------------------------------------------------------------------------
@@ -151,28 +192,34 @@ def fcos_assign_level(
 
     gy = (jnp.arange(hm, dtype=jnp.float32) + 0.5)[:, None]
     gx = (jnp.arange(wm, dtype=jnp.float32) + 0.5)[None, :]
-    t = jnp.maximum(0.0, gy - y_lo_px[owner] / stride)
-    b = jnp.maximum(0.0, y_hi_px[owner] / stride - gy)
-    l = jnp.maximum(0.0, gx - x_lo_px[owner] / stride)
-    r = jnp.maximum(0.0, x_hi_px[owner] / stride - gx)
+    # One one-hot contraction replaces the nine per-cell gathers (see
+    # _select_rows; measured 12.3% of the train step as gathers, r4).
+    (y_lo_o, x_lo_o, y_hi_o, x_hi_o, deg_y_o, deg_x_o, y_cen_o, x_cen_o,
+     cls) = _select_rows(
+        owner, y_lo_px, x_lo_px, y_hi_px, x_hi_px, deg_y, deg_x,
+        y_cen_c, x_cen_c, jnn.one_hot(gt_labels, num_classes,
+                                      dtype=jnp.float32),
+    )
+    t = jnp.maximum(0.0, gy - y_lo_o / stride)
+    b = jnp.maximum(0.0, y_hi_o / stride - gy)
+    l = jnp.maximum(0.0, gx - x_lo_o / stride)
+    r = jnp.maximum(0.0, x_hi_o / stride - gx)
 
     ratio_y = jnp.where(
-        deg_y[owner],
+        deg_y_o,
         1.0,
         (jnp.minimum(t, b) + EPS) / (jnp.maximum(t, b) + EPS),
     )
     ratio_x = jnp.where(
-        deg_x[owner],
+        deg_x_o,
         1.0,
         (jnp.minimum(l, r) + EPS) / (jnp.maximum(l, r) + EPS),
     )
     cen = jnp.sqrt(ratio_y * ratio_x)
     # Force centerness 1.0 at the owning box's center cell
     # (FCOS/fcos.py:279-280).
-    is_center = (jy[:, None] == y_cen_c[owner]) & (jx[None, :] == x_cen_c[owner])
+    is_center = (jy[:, None] == y_cen_o) & (jx[None, :] == x_cen_o)
     cen = jnp.where(is_center, 1.0, cen)
-
-    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
     out = jnp.concatenate(
         [jnp.stack([t, b, l, r], axis=-1), cen[..., None], cls], axis=-1
     )
@@ -274,12 +321,15 @@ def fcos_center_assign_level(
 
     gy = (jnp.arange(hm, dtype=jnp.float32) + 0.5)[:, None]
     gx = (jnp.arange(wm, dtype=jnp.float32) + 0.5)[None, :]
-    t = gy - y_lo_px[owner] / stride
-    b = y_hi_px[owner] / stride - gy
-    l = gx - x_lo_px[owner] / stride
-    r = x_hi_px[owner] / stride - gx
+    y_lo_o, x_lo_o, y_hi_o, x_hi_o, cls = _select_rows(
+        owner, y_lo_px, x_lo_px, y_hi_px, x_hi_px,
+        jnn.one_hot(gt_labels, num_classes, dtype=jnp.float32),
+    )
+    t = gy - y_lo_o / stride
+    b = y_hi_o / stride - gy
+    l = gx - x_lo_o / stride
+    r = x_hi_o / stride - gx
 
-    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
     has_f = has[..., None].astype(jnp.float32)
     out = jnp.concatenate(
         [jnp.stack([t, b, l, r], axis=-1) * has_f, cen[..., None], cls * has_f],
@@ -365,10 +415,12 @@ def fcos_center_v1_assign_level(
     owner = jnp.argmax(jnp.where(cover, -area[None, None, :], NEG_INF), axis=-1)
     has = jnp.any(cover, axis=-1)
 
-    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    reg_o, cls = _select_rows(
+        owner, reg, jnn.one_hot(gt_labels, num_classes, dtype=jnp.float32)
+    )
     has_f = has[..., None].astype(jnp.float32)
     out = jnp.concatenate(
-        [reg[owner] * has_f, has_f, cls * has_f], axis=-1
+        [reg_o * has_f, has_f, cls * has_f], axis=-1
     )
     return out, jnp.sum(in_bin.astype(jnp.int32))
 
@@ -475,7 +527,9 @@ def centernet_scale_slot_assign(
     owner = jnp.argmax(jnp.where(cover, -area[None, None, None, :], NEG_INF), axis=-1)
     has = jnp.any(cover, axis=-1)
 
-    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    reg_o, cls = _select_rows(
+        owner, reg, jnn.one_hot(gt_labels, num_classes, dtype=jnp.float32)
+    )
     has_f = has[..., None].astype(jnp.float32)
     cls = cls * has_f
     if gaussian_cls:
@@ -507,7 +561,7 @@ def centernet_scale_slot_assign(
             seg.reshape(n_slots, num_classes, hm, wm), (0, 1), (2, 3)
         )                                                # [hm, wm, S, nc]
         cls = jnp.maximum(cls, gauss)  # keep exact 1.0 peaks
-    out = jnp.concatenate([reg[owner] * has_f, cls], axis=-1)
+    out = jnp.concatenate([reg_o * has_f, cls], axis=-1)
     return out, jnp.sum(valid.astype(jnp.int32))
 
 
@@ -582,8 +636,10 @@ def stacked_hourglass_assign(
     )
     has = jnp.any(cover, axis=-1)
     has_f = has[..., None].astype(jnp.float32)
-    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
-    out = jnp.concatenate([reg[owner] * has_f, cls * has_f], axis=-1)
+    reg_o, cls = _select_rows(
+        owner, reg, jnn.one_hot(gt_labels, num_classes, dtype=jnp.float32)
+    )
+    out = jnp.concatenate([reg_o * has_f, cls * has_f], axis=-1)
     return out, jnp.sum(valid.astype(jnp.int32))
 
 
@@ -653,9 +709,11 @@ def hourglass_assign(
     owner = jnp.argmax(jnp.where(cover, -area[None, None, None, :], NEG_INF), axis=-1)
     has = jnp.any(cover, axis=-1)
 
-    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
+    reg_o, cls = _select_rows(
+        owner, reg, jnn.one_hot(gt_labels, num_classes, dtype=jnp.float32)
+    )
     has_f = has[..., None].astype(jnp.float32)
-    out = jnp.concatenate([reg[owner] * has_f, has_f, cls * has_f], axis=-1)
+    out = jnp.concatenate([reg_o * has_f, has_f, cls * has_f], axis=-1)
     return out, jnp.sum(valid.astype(jnp.int32))
 
 
@@ -735,14 +793,17 @@ def centernet_heatmap_assign(
 
     gy = (jnp.arange(hm, dtype=jnp.float32) + 0.5)[:, None]
     gx = (jnp.arange(wm, dtype=jnp.float32) + 0.5)[None, :]
-    t = jnp.maximum(0.0, gy - y_lo_px[owner] / stride)
-    b = jnp.maximum(0.0, y_hi_px[owner] / stride - gy)
-    l = jnp.maximum(0.0, gx - x_lo_px[owner] / stride)
-    r = jnp.maximum(0.0, x_hi_px[owner] / stride - gx)
+    (y_lo_o, x_lo_o, y_hi_o, x_hi_o, mu_y, mu_x, area_o, cls) = _select_rows(
+        owner, y_lo_px, x_lo_px, y_hi_px, x_hi_px,
+        y_cen_c.astype(jnp.float32), x_cen_c.astype(jnp.float32), area,
+        jnn.one_hot(gt_labels, num_classes, dtype=jnp.float32),
+    )
+    t = jnp.maximum(0.0, gy - y_lo_o / stride)
+    b = jnp.maximum(0.0, y_hi_o / stride - gy)
+    l = jnp.maximum(0.0, gx - x_lo_o / stride)
+    r = jnp.maximum(0.0, x_hi_o / stride - gx)
 
     # Center-prior heatmap around the owner's (shrunken-region) center cell.
-    mu_y = y_cen_c[owner].astype(jnp.float32)
-    mu_x = x_cen_c[owner].astype(jnp.float32)
     dy = gy - mu_y
     dx = gx - mu_x
     if heatmap_kind == "pseudo":
@@ -755,12 +816,12 @@ def centernet_heatmap_assign(
         norm = 1.0 / jnp.power(0.5, 2.0 * spread)
         cen = jnp.clip(g / norm, 0.0, 1.0)
     else:
-        std = jnp.maximum(1.0, jnp.sqrt(area[owner] / (stride * stride)))
+        std = jnp.maximum(1.0, jnp.sqrt(area_o / (stride * stride)))
         cen = jnp.exp(-(dy * dy + dx * dx) / (2.0 * std * std))
-    is_center = (jy[:, None] == y_cen_c[owner]) & (jx[None, :] == x_cen_c[owner])
+    is_center = (jy[:, None].astype(jnp.float32) == mu_y) & (
+        jx[None, :].astype(jnp.float32) == mu_x
+    )
     cen = jnp.where(is_center, 1.0, cen)
-
-    cls = jnn.one_hot(gt_labels[owner], num_classes, dtype=jnp.float32)
     out = jnp.concatenate(
         [jnp.stack([t, b, l, r], axis=-1), cen[..., None], cls], axis=-1
     )
