@@ -9,6 +9,7 @@ returns the C3/C4/C5 taps (strides 8/16/32) the detectors consume.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -88,12 +89,20 @@ class ResNet(nn.Module):
     expansion: int = 4
     keras_compat: bool = False  # Keras v1 conventions for weight porting
     torch_compat: bool = False  # torchvision conventions (ResNeXt port)
+    s2d_stem: bool | None = None  # None: DETECTAX_S2D_STEM env decides
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert not (self.keras_compat and self.torch_compat)
         bn_eps = 1.001e-5 if self.keras_compat else 1e-5
+        # Space-to-depth stem: same function, same params, ~MXU-friendly
+        # evaluation (see layers._S2DConv7x7). Opt-in while the measured
+        # win is being characterized; requires even input dims.
+        s2d = self.s2d_stem
+        if s2d is None:
+            s2d = os.environ.get("DETECTAX_S2D_STEM") == "1"
+        s2d = s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         if self.keras_compat or self.torch_compat:
             # Keras/torch stem: explicit (3,3) pad + 7x7/2 VALID conv, then
             # (1,1) pad + 3x3/2 VALID maxpool (torch convs carry no bias;
@@ -102,14 +111,14 @@ class ResNet(nn.Module):
             h = ConvBN(
                 self.width, kernel=7, stride=2,
                 padding=((3, 3), (3, 3)), use_bias=self.keras_compat,
-                bn_eps=bn_eps,
+                bn_eps=bn_eps, s2d=s2d,
                 dtype=self.dtype, name="stem",
             )(x, train)
             h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
             h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
         else:
             h = ConvBN(self.width, kernel=7, stride=2, dtype=self.dtype,
-                       name="stem")(x, train)
+                       s2d=s2d, name="stem")(x, train)
             h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
         taps = {}
         for stage, n_blocks in enumerate(self.stage_sizes):

@@ -170,12 +170,84 @@ def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:
     return x.reshape(b, h * block, w * block, cs)
 
 
+class _S2DConv7x7(nn.Module):
+    """7×7/s2 conv evaluated as a 4×4/s1 conv over space-to-depth input.
+
+    Exact reparameterization of the ResNet stem conv (the MLPerf
+    space-to-depth trick): a Cin=3 7×7 conv runs the MXU at ~12 TF/s
+    (measured, benchmarks/r4/profile_step.log — the worst op in the
+    flagship step) because 3 input channels underfill the 128-lane
+    contraction; folding the 2×2 pixel neighborhood into channels gives
+    the identical function with Cin=12 and a 4×4 kernel. Param tree is
+    bit-identical to `nn.Conv` (name "Conv_0", params "kernel"/"bias",
+    same shapes and inits) so checkpoints and ported weights are
+    unaffected — the repack below is a pure function of the 7×7 kernel,
+    traced into the step and fused by XLA (9 KB of weight movement).
+
+    `pad_low` is the spatial low-side padding of the original conv: 2 for
+    XLA "SAME" on even inputs, 3 for the Keras/torch explicit-(3,3) stem.
+    Requires even input H/W (every canvas is).
+    """
+
+    features: int
+    pad_low: int = 2
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, c_in, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+            if self.use_bias else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        # Original output: o(i) = Σ_t W[t]·x[2i + t - pad_low]. Write the
+        # input offset u = t - pad_low as u = 2p + dy (p: s2d pixel
+        # offset, dy: phase); t spans 0..6, so p spans 4 values and the
+        # repacked kernel index a = p - p_min satisfies t = 2a + dy + s
+        # with s = pad_low + 2·p_min. pad_low=2 → p ∈ [-1, 2], s = 0;
+        # pad_low=3 → p ∈ [-2, 1], s = -1.
+        if self.pad_low == 2:
+            w8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            s2d_pad = (1, 2)
+        elif self.pad_low == 3:
+            w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            s2d_pad = (2, 1)
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported stem pad_low {self.pad_low}")
+        # [t=2a+dy, t'=2b+dx, c, f] -> [a, b, (dy, dx, c), f], matching
+        # space_to_depth's (dy, dx, c) channel packing
+        w4 = w8.reshape(4, 2, 4, 2, c_in, self.features)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * c_in, self.features
+        )
+        xs = space_to_depth(x, 2)
+        out = jax.lax.conv_general_dilated(
+            xs, w4, window_strides=(1, 1),
+            padding=(s2d_pad, s2d_pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            out = out + bias
+        return out
+
+
 class ConvBN(nn.Module):
     """Conv + BatchNorm + optional ReLU.
 
     `padding` may be "SAME", "VALID", or explicit ((t,b),(l,r)) — the
     latter reproduces Keras's ZeroPadding2D+valid stem convention for the
-    weight-port tool.
+    weight-port tool. `s2d=True` (7×7/s2 stems only) switches to the
+    space-to-depth evaluation of the same function (`_S2DConv7x7`).
     """
 
     features: int
@@ -185,20 +257,30 @@ class ConvBN(nn.Module):
     act: Any = True  # True/"relu" | "relu6" (MobileNetV2) | False
     groups: int = 1
     padding: Any = "SAME"
+    s2d: bool = False
     bn_eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=self.padding,
-            use_bias=self.use_bias,
-            feature_group_count=self.groups,
-            dtype=self.dtype,
-        )(x)
+        if self.s2d:
+            assert self.kernel == 7 and self.stride == 2 and self.groups == 1
+            assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            pad_low = 2 if self.padding == "SAME" else self.padding[0][0]
+            x = _S2DConv7x7(
+                self.features, pad_low=pad_low, use_bias=self.use_bias,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=self.padding,
+                use_bias=self.use_bias,
+                feature_group_count=self.groups,
+                dtype=self.dtype,
+            )(x)
         x = BatchNorm(
             force_float32_reductions=bn_f32_stats(),
             use_running_average=not train, momentum=0.9,

@@ -103,11 +103,14 @@ def make_sharded_train_step(
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     state_in = state_shardings if state_shardings is not None else repl
+    from detectax.train.loop import tpu_compiler_options
+
     return jax.jit(
         train_step,
         in_shardings=(state_in, data),
         out_shardings=(state_in, repl),
         donate_argnums=(0,),
+        compiler_options=tpu_compiler_options(),
     )
 
 

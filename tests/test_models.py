@@ -170,3 +170,35 @@ def test_bf16_compute_dtype():
     _, outs = _init_apply(model, x)
     # outputs are cast back to fp32 for the loss
     assert outs[0].dtype == jnp.float32
+
+
+def test_s2d_stem_exact_equivalence():
+    """The space-to-depth stem is the same function with the same params.
+
+    Covers both stem conventions: the default XLA-"SAME" stem (pad_low 2)
+    and the Keras/torch explicit-(3,3) stem (pad_low 3, conv bias on for
+    keras_compat). fp32 tolerances are reassociation-level only.
+    """
+    import numpy as np
+
+    from detectax.models.backbones import ResNet
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32
+    )
+    for compat in ({}, {"keras_compat": True}):
+        base = ResNet(stage_sizes=(1, 1, 1, 1), s2d_stem=False, **compat)
+        s2d = ResNet(stage_sizes=(1, 1, 1, 1), s2d_stem=True, **compat)
+        variables = base.init(KEY, x, train=True)
+        # identical param trees (same names, shapes) by construction
+        v2 = s2d.init(KEY, x, train=True)
+        assert jax.tree_util.tree_structure(
+            variables
+        ) == jax.tree_util.tree_structure(v2)
+        out_base = base.apply(variables, x, train=False)
+        out_s2d = s2d.apply(variables, x, train=False)
+        for k in out_base:
+            np.testing.assert_allclose(
+                out_s2d[k], out_base[k], rtol=2e-5, atol=2e-5,
+                err_msg=f"{compat} tap {k}",
+            )
