@@ -86,8 +86,15 @@ def _select_rows(owner: jnp.ndarray, *columns: jnp.ndarray) -> list:
     of the flagship train step running at ~2 GB/s effective (BASELINE.md
     r4 per-op table). A one-hot ``[cells, N] @ [N, K]`` contraction is MXU
     work instead. Columns are stacked into ONE table so each level pays a
-    single contraction; f32 matmul is exact for the small ints routed
-    through it (cell indices, 0/1 flags).
+    single contraction.
+
+    Precision: the contraction runs at ``Precision.HIGHEST``. TPU DEFAULT
+    f32 matmul demotes operands to bf16, which rounds table values above
+    2^8 (pixel coordinates, areas) — measured on v5e: selecting 409601.0
+    at DEFAULT returns 409600.0. HIGHEST multi-pass bf16 reproduces every
+    f32 table value exactly under a 0/1 selector (one nonzero term per
+    output), and these matmuls are ~0.1 ms of the step, so exactness is
+    free.
 
     Returns the selected columns in input order, each ``[..., ]`` (vectors)
     or ``[..., K]`` (matrices).
@@ -103,7 +110,9 @@ def _select_rows(owner: jnp.ndarray, *columns: jnp.ndarray) -> list:
     sel = (
         owner[..., None] == jnp.arange(n, dtype=owner.dtype)
     ).astype(jnp.float32)
-    picked = sel @ table  # [..., sum(K)]
+    picked = jnp.matmul(
+        sel, table, precision=jax.lax.Precision.HIGHEST
+    )  # [..., sum(K)]
     out, off = [], 0
     for c, k in zip(columns, widths):
         piece = picked[..., off:off + k]
