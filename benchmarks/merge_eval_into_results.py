@@ -6,17 +6,48 @@ checkpoints; this keeps the training provenance fields (train_steps,
 train_min, backbone, recipe, run_dir) from the existing row and replaces
 the metric fields with the regenerated summary.
 
-Usage: python benchmarks/merge_eval_into_results.py RESULTS.json family eval.json
+Staleness guard (r5, after the r4 incident where a FAILED re-eval left
+the old eval.json in place and this script silently republished it,
+VERDICT r4 weak #4): the eval.json must be NEWER than the RESULTS file —
+a genuinely regenerated eval always is, because the RESULTS file was
+last written when the row being refreshed was produced. Override with
+--allow_stale only when you know the eval is the one you mean. A family
+not already present in the RESULTS file is an error (an eval-only
+refresh cannot invent training provenance); use --allow_new to add one.
+
+Usage: python benchmarks/merge_eval_into_results.py RESULTS.json family \
+           eval.json [--allow_stale] [--allow_new]
 """
+import argparse
 import json
+import os
 import sys
 
 KEEP = ("train_steps", "train_min", "backbone", "recipe", "run_dir")
 
 
-def main(results_path, family, eval_path):
+def merge(results_path, family, eval_path, *, allow_stale=False,
+          allow_new=False):
     with open(results_path) as f:
         results = json.load(f)
+    if family not in results and not allow_new:
+        raise SystemExit(
+            f"family '{family}' is not in {results_path} (have: "
+            f"{sorted(results)}); an eval-only refresh cannot create a row "
+            "with no training provenance — pass --allow_new to add one"
+        )
+    if not allow_stale:
+        eval_mtime = os.path.getmtime(eval_path)
+        results_mtime = os.path.getmtime(results_path)
+        if eval_mtime <= results_mtime:
+            raise SystemExit(
+                f"STALE MERGE REFUSED: {eval_path} "
+                f"(mtime {eval_mtime:.0f}) is not newer than "
+                f"{results_path} (mtime {results_mtime:.0f}) — the eval "
+                "that was supposed to regenerate it likely failed "
+                "(r4 incident: a failed re-eval silently republished old "
+                "numbers). Re-run the eval, or pass --allow_stale."
+            )
     with open(eval_path) as f:
         summary = json.load(f)
     old = results.get(family, {})
@@ -30,5 +61,17 @@ def main(results_path, family, eval_path):
           f"AP_small={summary.get('AP_small')}")
 
 
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("results_path")
+    p.add_argument("family")
+    p.add_argument("eval_path")
+    p.add_argument("--allow_stale", action="store_true")
+    p.add_argument("--allow_new", action="store_true")
+    a = p.parse_args(argv)
+    merge(a.results_path, a.family, a.eval_path,
+          allow_stale=a.allow_stale, allow_new=a.allow_new)
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main()

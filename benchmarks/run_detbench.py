@@ -99,8 +99,18 @@ CROWD_TRAIN_OVERRIDES = {
     "retinanet": ["--canvas", "640"],
     "fcos": ["--canvas", "640"],
     "centernet_heatmap": ["--canvas", "640"],
+    # hourglass families keep their 320 canvas (stride-4 output keeps
+    # 2-12%-of-640 objects at 6-38px resolvable; 640 would quadruple the
+    # 160x160 stack maps) — eval must match the train canvas below.
 }
-CROWD_EVAL_OVERRIDES = ["--canvas", "640", "--top_k", "2048"]
+# Per-family eval canvas for the crowd split: must match the family's
+# TRAIN canvas (the r4 default forced 640 unconditionally, which would
+# eval a 320-trained hourglass at untrained geometry).
+CROWD_EVAL_OVERRIDES = {
+    None: ["--canvas", "640", "--top_k", "2048"],
+    "hourglass": ["--canvas", "320", "--top_k", "2048"],
+    "stacked_hourglass": ["--canvas", "320", "--top_k", "2048"],
+}
 
 # From-scratch optimization recipe (no ImageNet weights in this image):
 # positive-count loss normalization + linear warmup + a clip sized for
@@ -213,7 +223,9 @@ def main(argv=None):
         ]
         if args.bench == "detbench_v2_crowd":
             eval_cmd += ["--max_boxes", "128", "--max_outputs", "200"]
-            eval_cmd += CROWD_EVAL_OVERRIDES
+            eval_cmd += CROWD_EVAL_OVERRIDES.get(
+                fam, CROWD_EVAL_OVERRIDES[None]
+            )
         print(f"[{fam}] evaluating ...", flush=True)
         rc = run(eval_cmd, log_path)
         if rc != 0 or not os.path.exists(eval_json):

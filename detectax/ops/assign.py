@@ -119,10 +119,10 @@ def _select_rows(owner: jnp.ndarray, *columns: jnp.ndarray) -> list:
         off += k
         if c.ndim == 1:
             piece = piece[..., 0]
-            if jnp.issubdtype(c.dtype, jnp.integer):
-                piece = jnp.round(piece).astype(c.dtype)
-            elif c.dtype == jnp.bool_:
-                piece = piece > 0.5
+        if jnp.issubdtype(c.dtype, jnp.integer):
+            piece = jnp.round(piece).astype(c.dtype)
+        elif c.dtype == jnp.bool_:
+            piece = piece > 0.5
         out.append(piece)
     return out
 

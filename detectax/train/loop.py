@@ -260,7 +260,7 @@ def tpu_compiler_options() -> dict | None:
     """
     from detectax.ops.pallas._common import on_tpu
 
-    if os.environ.get("DETECTAX_NO_LHS") or not on_tpu():
+    if os.environ.get("DETECTAX_NO_LHS") == "1" or not on_tpu():
         return None
     return {"xla_tpu_enable_latency_hiding_scheduler": "true"}
 
