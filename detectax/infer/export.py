@@ -149,6 +149,149 @@ def save_bundle(
     return manifest
 
 
+def compare_detections(
+    want,
+    got,
+    *,
+    iou_min: float = 0.95,
+    score_tol: float = 1e-3,
+    boundary_gap: float = 2e-3,
+    score_thresh: float | None = None,
+    flip_iou: float = 0.3,
+) -> dict:
+    """Detection-aware equivalence between two padded detection dicts
+    (`ops.nms` layout: boxes [B,K,4], scores [B,K], classes [B,K],
+    num_valid [B]).
+
+    Elementwise array comparison is the wrong gate for a serving
+    round-trip on a *trained* model: top-k and NMS are discontinuous
+    selections, so an O(1e-6) score difference between two lowerings of
+    the same program can swap two near-tied candidates and produce
+    O(canvas)-scale box diffs at some rank while the detection SETS are
+    semantically identical (r4 incident: max|Δ|=352.1 on box
+    coordinates from exactly this). This gate compares the sets:
+
+    - every valid detection in ``want`` must have a same-class partner in
+      ``got`` with IoU >= ``iou_min`` and |score Δ| <= ``score_tol``
+      (greedy best-IoU matching in score order), and vice versa;
+    - an UNMATCHED detection is excusable only as a *selection flip* a
+      near-tie could plausibly cause:
+
+      1. truncation: the other side's list is full (num_valid == K) and
+         the score is within ``boundary_gap`` of its lowest kept score;
+      2. threshold: ``score_thresh`` is given and the score is within
+         ``boundary_gap`` of it (the det flipped across the cutoff);
+      3. NMS rank flip: an unmatched det on the *other* side has the
+         same class, score within ``boundary_gap``, and box IoU >=
+         ``flip_iou`` (class-aware NMS suppression order between two
+         overlapping near-ties depends on their rank, so the survivor
+         can legitimately differ).
+
+      Anything else counts as a real mismatch (a genuinely diverging
+      bundle: geometry/weights/dtype baking bugs move detections by more
+      than compile noise and break these criteria).
+
+    Returns ``{"ok", "images", "matched", "max_matched_score_diff",
+    "max_matched_iou_gap", "boundary_unmatched", "real_mismatches"}``.
+    """
+    wb = np.asarray(want["boxes"], np.float32)
+    gb = np.asarray(got["boxes"], np.float32)
+    ws, gs = (np.asarray(x["scores"], np.float32) for x in (want, got))
+    wc, gc = (np.asarray(x["classes"]) for x in (want, got))
+    wn, gn = (np.asarray(x["num_valid"]).astype(int)
+              for x in (want, got))
+    B, K = ws.shape
+    matched = 0
+    boundary = 0
+    real = 0
+    max_sd = 0.0
+    max_ig = 0.0
+
+    def _iou(a, b):
+        # corners [ymin, xmin, ymax, xmax]
+        yx0 = np.maximum(a[:2], b[:2])
+        yx1 = np.minimum(a[2:], b[2:])
+        inter = np.prod(np.maximum(yx1 - yx0, 0.0))
+        ua = np.prod(np.maximum(a[2:] - a[:2], 0.0))
+        ub = np.prod(np.maximum(b[2:] - b[:2], 0.0))
+        return inter / max(ua + ub - inter, 1e-9)
+
+    for i in range(B):
+        nw, ng = wn[i], gn[i]
+        used = np.zeros(ng, bool)
+        # --- pass 1: greedy class+IoU matching in score order ---
+        un_w = []
+        for j in range(nw):
+            best, best_iou = -1, 0.0
+            for k in range(ng):
+                if used[k] or wc[i, j] != gc[i, k]:
+                    continue
+                v = _iou(wb[i, j], gb[i, k])
+                if v > best_iou:
+                    best, best_iou = k, v
+            if best >= 0 and best_iou >= iou_min and (
+                abs(ws[i, j] - gs[i, best]) <= score_tol
+            ):
+                used[best] = True
+                matched += 1
+                max_sd = max(max_sd, float(abs(ws[i, j] - gs[i, best])))
+                max_ig = max(max_ig, float(1.0 - best_iou))
+            else:
+                un_w.append(j)
+        un_g = [k for k in range(ng) if not used[k]]
+
+        # --- pass 2: excuse selection flips among the unmatched ---
+        floor_g = gs[i, ng - 1] if ng else np.inf
+        floor_w = ws[i, nw - 1] if nw else np.inf
+        trunc_g = ng == K
+        trunc_w = nw == K
+
+        def _excused(score, floor_other, trunc_other):
+            if trunc_other and score <= floor_other + boundary_gap:
+                return True
+            if score_thresh is not None and (
+                score <= score_thresh + boundary_gap
+            ):
+                return True
+            return False
+
+        flip_used_g = np.zeros(ng, bool)
+        for j in un_w:
+            if _excused(ws[i, j], floor_g, trunc_g):
+                boundary += 1
+                continue
+            flipped = False
+            for k in un_g:
+                if flip_used_g[k] or wc[i, j] != gc[i, k]:
+                    continue
+                if abs(ws[i, j] - gs[i, k]) <= boundary_gap and (
+                    _iou(wb[i, j], gb[i, k]) >= flip_iou
+                ):
+                    flip_used_g[k] = True
+                    flipped = True
+                    break
+            if flipped:
+                boundary += 2  # both sides of the flip pair
+            else:
+                real += 1
+        for k in un_g:
+            if flip_used_g[k]:
+                continue
+            if _excused(gs[i, k], floor_w, trunc_w):
+                boundary += 1
+            else:
+                real += 1
+    return {
+        "ok": real == 0,
+        "images": int(B),
+        "matched": int(matched),
+        "max_matched_score_diff": max_sd,
+        "max_matched_iou_gap": max_ig,
+        "boundary_unmatched": int(boundary),
+        "real_mismatches": int(real),
+    }
+
+
 def load_bundle(bundle_dir: str):
     """Rehydrate a bundle into an `infer.serving.Predictor`. Needs no
     detectax model code — only the serialized StableHLO + weights."""

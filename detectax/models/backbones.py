@@ -20,6 +20,7 @@ from detectax.models.layers import (
     ConvBN,
     bn_f32_stats as _bn_f32_stats,
 )
+from detectax.ops.pool import max_pool_3x3_s2
 
 Dtype = Any
 
@@ -119,7 +120,10 @@ class ResNet(nn.Module):
         else:
             h = ConvBN(self.width, kernel=7, stride=2, dtype=self.dtype,
                        s2d=s2d, name="stem")(x, train)
-            h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+            # DETECTAX_POOL_VJP=1 swaps in the select-and-scatter-free
+            # backward (ops/pool.py; r4 profile: the stem pool's S&S
+            # backward runs at 324 GB/s)
+            h = max_pool_3x3_s2(h)
         taps = {}
         for stage, n_blocks in enumerate(self.stage_sizes):
             feats = self.width * (2**stage) * self.width_factor

@@ -188,3 +188,109 @@ def test_predictor_empty_and_wrong_shape(tiny_fcos):
     assert all(v.shape[0] == 0 for v in out.values())
     with pytest.raises(ValueError, match="canvas"):
         predictor.predict(np.zeros((1, 32, 32, 3), np.float32))
+
+
+class TestCompareDetections:
+    """Detection-aware export gate (r4 VERDICT #1: elementwise comparison
+    reported max|Δ|=352.1 on a trained checkpoint because near-tied
+    top-k/NMS selections flip under eager-vs-compiled float noise)."""
+
+    @staticmethod
+    def _dets(rows, k=8):
+        """rows: per-image list of (box4, score, cls)."""
+        from detectax.infer.export import compare_detections  # noqa: F401
+
+        b = len(rows)
+        boxes = np.zeros((b, k, 4), np.float32)
+        scores = np.zeros((b, k), np.float32)
+        classes = np.zeros((b, k), np.int32)
+        nv = np.zeros((b,), np.int32)
+        for i, dets in enumerate(rows):
+            dets = sorted(dets, key=lambda d: -d[1])
+            for j, (bx, sc, cl) in enumerate(dets):
+                boxes[i, j] = bx
+                scores[i, j] = sc
+                classes[i, j] = cl
+            nv[i] = len(dets)
+        return {"boxes": boxes, "scores": scores, "classes": classes,
+                "num_valid": nv}
+
+    def test_identical_sets_match(self):
+        from detectax.infer.export import compare_detections
+
+        d = self._dets([[([0, 0, 10, 10], 0.9, 1), ([20, 20, 40, 40], 0.5, 2)]])
+        r = compare_detections(d, d)
+        assert r["ok"] and r["matched"] == 2 and r["real_mismatches"] == 0
+
+    def test_rank_swap_of_near_tie_matches(self):
+        from detectax.infer.export import compare_detections
+
+        a = ([0, 0, 10, 10], 0.70000, 1)
+        b = ([50, 50, 60, 60], 0.70002, 1)
+        want = self._dets([[a, b]])
+        got = self._dets([[(a[0], 0.70002, 1), (b[0], 0.70000, 1)]])
+        # ranks swapped -> elementwise box diff = 50; sets identical to tol
+        r = compare_detections(want, got, score_tol=1e-3)
+        assert r["ok"] and r["matched"] == 2
+
+    def test_boundary_tie_drop_is_excused(self):
+        from detectax.infer.export import compare_detections
+
+        keep = ([0, 0, 10, 10], 0.9, 1)
+        tie = ([50, 50, 60, 60], 0.1000, 2)
+        want = self._dets([[keep, tie]])
+        got = self._dets([[keep, ([80, 80, 90, 90], 0.1001, 3)]])
+        # both leftover dets sit at the 0.1 score threshold: the cutoff
+        # flip is excused only because score_thresh says so
+        r = compare_detections(want, got, boundary_gap=2e-3,
+                               score_thresh=0.1)
+        assert r["ok"] and r["matched"] == 1 and r["boundary_unmatched"] == 2
+        # without the threshold context the same drop is a real mismatch
+        r2 = compare_detections(want, got, boundary_gap=2e-3)
+        assert not r2["ok"]
+
+    def test_nms_rank_flip_is_excused(self):
+        from detectax.infer.export import compare_detections
+
+        # two overlapping same-class near-ties: live kept A, replay kept B
+        a = ([0, 0, 10, 10], 0.70000, 1)
+        b = ([2, 2, 12, 12], 0.70001, 1)
+        keep = ([50, 50, 60, 60], 0.9, 2)
+        want = self._dets([[keep, a]])
+        got = self._dets([[keep, b]])
+        r = compare_detections(want, got, boundary_gap=2e-3)
+        assert r["ok"] and r["matched"] == 1 and r["boundary_unmatched"] == 2
+
+    def test_missing_high_score_det_fails(self):
+        from detectax.infer.export import compare_detections
+
+        big = ([0, 0, 10, 10], 0.9, 1)
+        small = ([50, 50, 60, 60], 0.2, 2)
+        want = self._dets([[big, small]])
+        got = self._dets([[small]])
+        r = compare_detections(want, got)
+        assert not r["ok"] and r["real_mismatches"] >= 1
+
+    def test_score_drift_beyond_tol_fails(self):
+        from detectax.infer.export import compare_detections
+
+        want = self._dets([[([0, 0, 10, 10], 0.9, 1)]])
+        got = self._dets([[([0, 0, 10, 10], 0.8, 1)]])
+        r = compare_detections(want, got, score_tol=1e-3)
+        assert not r["ok"] and r["real_mismatches"] >= 1
+
+    def test_class_flip_fails(self):
+        from detectax.infer.export import compare_detections
+
+        want = self._dets([[([0, 0, 10, 10], 0.9, 1)]])
+        got = self._dets([[([0, 0, 10, 10], 0.9, 3)]])
+        r = compare_detections(want, got)
+        assert not r["ok"] and r["real_mismatches"] >= 1
+
+    def test_box_shift_beyond_iou_fails(self):
+        from detectax.infer.export import compare_detections
+
+        want = self._dets([[([0, 0, 10, 10], 0.9, 1)]])
+        got = self._dets([[([8, 8, 18, 18], 0.9, 1)]])
+        r = compare_detections(want, got, iou_min=0.95)
+        assert not r["ok"] and r["real_mismatches"] >= 1
