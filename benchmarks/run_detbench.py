@@ -31,9 +31,17 @@ FAMILIES = {
                  "--decay_steps", "4000"],
     },
     "fcos_center": {
+        # Sparse decayed-score supervision (<=9 cells/object at
+        # 1.0/0.5/0.25, fcos_center.py:149-279) floors at 0.541 from
+        # random init; the r5 A/B (BASELINE.md) measured the
+        # centernet_s8-style pretrain-ft regime at 0.683 — benchmarked
+        # at the reference's own pretrained operating point, like s8.
         "train": "detectax.cli.train_fcos_center_voc",
         "args": ["--canvas", "384", "--optimizer", "sgd",
-                 "--init_lr", "0.01"],
+                 "--init_lr", "0.001", "--lr_boundary", "3000",
+                 "--warmup_steps", "100", "--freeze_bn",
+                 "--init_backbone",
+                 "benchmarks/runs/pretrain_mbv2/backbone.msgpack"],
     },
     "fcos_center_v1": {
         "train": "detectax.cli.train_fcos_center_v1_voc",
